@@ -1,0 +1,246 @@
+"""TPU block demodulator: magnitude vector -> compacted Mode S candidates.
+
+Behavioral contract: detectModeS + applyPhaseCorrection,
+dump1090.c:1471-1793.  The reference scans sample positions one by one with
+branch-heavy scalar code, mutating the magnitude buffer for its phase-
+correction retry and jumping the scan index past good messages.  That control
+flow is hostile to any vector machine, so this module restructures it as a
+data-parallel pipeline with *no* approximation:
+
+  1. the preamble predicate (10 relational tests + high/quiet checks,
+     dump1090.c:1602-1650) is evaluated at every sample offset at once as
+     boolean masks over shifted views — O(mlen) VPU work;
+  2. candidate positions are compacted to a fixed-width index vector;
+  3. for each candidate, BOTH demodulation passes are computed as pure
+     functions of its 241-sample window: the uncorrected pass, and the
+     phase-corrected retry (the reference mutates then restores the shared
+     buffer, dump1090.c:1655-1693, so the retry is provably local — we
+     compute it out-of-place);
+  4. bit decisions, the repeat-previous-bit rule, byte packing, the first-
+     bit demod-error flag and the noise gate are batched integer ops.
+
+What this kernel deliberately does NOT do: the sequential "skip past a good
+message" rule and the stateful ICAO-cache acceptance coupling (dump1090.c:
+1769-1771, 942-983).  Those are O(candidates), order-dependent, and depend on
+CRC outcomes entangled with decode history; they are replayed exactly on the
+host by models/resolver.py over this kernel's compacted output.
+
+Returned arrays are fixed-shape (padded to `max_candidates`), so the whole
+pipeline is a single XLA program per block size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import (
+    BIT_REPEAT_DELTA,
+    FULL_LEN_SAMPLES,
+    LONG_MSG_BITS,
+    MSG_SAMPLES,
+    PREAMBLE_SAMPLES,
+    SHORT_MSG_BITS,
+)
+
+WINDOW = FULL_LEN_SAMPLES + 1  # 241: one leading sample (m[j-1]) + preamble + frame
+
+
+class Candidates(NamedTuple):
+    """Compacted per-block demodulation results (fixed shape, padded)."""
+
+    n: jax.Array          # [] int32, number of valid candidates (may exceed max)
+    pos: jax.Array        # [C] int32 scan position of each candidate
+    msg1: jax.Array       # [C, 14] uint8 packed frame, uncorrected pass
+    errors1: jax.Array    # [C] int32 demod-error count, uncorrected pass
+    gate1: jax.Array      # [C] bool noise-gate pass, uncorrected pass
+    msg2: jax.Array       # [C, 14] uint8 packed frame, phase-corrected pass
+    errors2: jax.Array    # [C] int32
+    gate2: jax.Array      # [C] bool
+
+
+def preamble_mask(m: jax.Array, scan_len: int) -> jax.Array:
+    """Evaluate the preamble predicate at every scan position at once.
+
+    Contract: dump1090.c:1602-1650.  `m` is int32[S]; returns bool[scan_len]
+    where scan_len = S - FULL_LEN_SAMPLES (the reference scans
+    j < mlen - MODES_FULL_LEN*2, dump1090.c:1593).
+    """
+
+    def s(k: int) -> jax.Array:
+        return lax.dynamic_slice_in_dim(m, k, scan_len)
+
+    c = (
+        (s(0) > s(1))
+        & (s(1) < s(2))
+        & (s(2) > s(3))
+        & (s(3) < s(0))
+        & (s(4) < s(0))
+        & (s(5) < s(0))
+        & (s(6) < s(0))
+        & (s(7) > s(8))
+        & (s(8) < s(9))
+        & (s(9) > s(6))
+    )
+    high = (s(0) + s(2) + s(7) + s(9)) // 6
+    c &= (s(4) < high) & (s(5) < high)
+    c &= (s(11) < high) & (s(12) < high) & (s(13) < high) & (s(14) < high)
+    return c
+
+
+def _slice_window(msg_samples: jax.Array):
+    """PPM bit-slice one 224-sample message window (dump1090.c:1666-1706).
+
+    Returns (msg_bytes uint8[14], errors int32, df int32).
+
+    Bit rules, in reference priority order: for cell i>0 with |low-high| <
+    256 repeat the previous bit; low == high is a demod error (only reachable
+    at i == 0, since i > 0 low==high implies delta 0 < 256); otherwise
+    bit = low > high.  The repeat rule is a fill-forward: each cell takes the
+    raw decision of the nearest preceding "confident" cell, computed with a
+    cumulative max over indices instead of a serial walk.
+    """
+    low = msg_samples[0::2]
+    high = msg_samples[1::2]
+    delta = jnp.abs(low - high)
+    t = jnp.arange(LONG_MSG_BITS, dtype=jnp.int32)
+
+    raw = jnp.where(low > high, 1, 0).astype(jnp.int32)
+    raw = raw.at[0].set(jnp.where(low[0] == high[0], 2, raw[0]))
+    confident = (t == 0) | (delta >= BIT_REPEAT_DELTA)
+    src = lax.cummax(jnp.where(confident, t, -1))
+    bits = jnp.take(raw, src)
+
+    # error bits (value 2) are only assigned at cell 0 and counted when the
+    # cell index is below the short-message length (dump1090.c:1677-1682)
+    errors = (low[0] == high[0]).astype(jnp.int32)
+
+    # Pack MSB-first with bitwise OR — the reference ORs shifted bit values,
+    # so an error value 2 at bit k spills into bit k-1 (and off the top of
+    # the byte for k == 0), dump1090.c:1696-1706.
+    shifted = bits.reshape(14, 8) << (7 - jnp.arange(8, dtype=jnp.int32))
+    packed = jnp.bitwise_or.reduce(shifted, axis=1) & 0xFF
+    msg_bytes = packed.astype(jnp.uint8)
+    df = packed[0] >> 3
+    return msg_bytes, errors, df
+
+
+def _noise_gate(orig_samples: jax.Array, df: jax.Array) -> jax.Array:
+    """Noise gate: mean per-cell |low-high| over the *claimed* message length
+    must clear 10*255 under integer division (dump1090.c:1713-1726).
+
+    Crucial ordering detail: the reference restores the original magnitudes
+    *before* computing the gate (dump1090.c:1692-1693 vs :1713), so even on
+    the phase-corrected retry the gate reads UNCORRECTED samples — only the
+    claimed message length (via the DF of the freshly sliced bits) differs
+    between passes."""
+    low = orig_samples[0::2]
+    high = orig_samples[1::2]
+    delta = jnp.abs(low - high)
+    is_long = (df >= 16) & (df <= 21)
+    msglen_bytes = jnp.where(is_long, 14, 7)
+    ds = jnp.where(is_long, delta.sum(), delta[: SHORT_MSG_BITS].sum())
+    return ds // (msglen_bytes * 4) >= 10 * 255
+
+
+def _phase_corrected_window(w: jax.Array) -> jax.Array:
+    """Phase-corrected copy of the 224 message samples of window `w`
+    (int32[241], w[0] = m[j-1]).  Contract: applyPhaseCorrection,
+    dump1090.c:1471-1558.
+
+    The reference walks the message serially, scaling each next sample by a
+    fixed-point factor chosen from the previous (already-scaled) sample's bit
+    decision.  Only every other sample is written (odd indices walking
+    backward, even walking forward), so the recurrence carries exactly one
+    value — a 111-step lax.scan per direction, vmapped across candidates.
+    """
+    on_time = (w[1] + w[3] + w[8] + w[10]).astype(jnp.uint32)
+    early = ((w[0] + w[7]) * 2).astype(jnp.uint32)
+    late = ((w[4] + w[11]) * 2).astype(jnp.uint32)
+    m = w[PREAMBLE_SAMPLES + 1 : PREAMBLE_SAMPLES + 1 + MSG_SAMPLES]  # w[17:241]
+
+    def factors(e: jax.Array) -> tuple[jax.Array, jax.Array]:
+        # uint32 C semantics: 16384*e <= 16384*260668 < 2^32, no wrap
+        q = (jnp.uint32(16384) * e) // jnp.maximum(e + on_time, jnp.uint32(1))
+        q = q.astype(jnp.int32)
+        return 16384 + q, 16384 - q
+
+    is_early = early > late
+    up_e, down_e = factors(early)
+    up_l, down_l = factors(late)
+    up = jnp.where(is_early, up_e, up_l)
+    down = jnp.where(is_early, down_e, down_l)
+
+    def scale(v: jax.Array, f: jax.Array) -> jax.Array:
+        # uint16 scaleSample: v*f/16384 clamped to 65535 (dump1090.c:1473-1476)
+        return jnp.minimum(v * f // 16384, 65535)
+
+    ks = jnp.arange(111, dtype=jnp.int32)
+
+    # early > late: seed-scale the last sample, walk backward writing odd
+    # indices 221, 219, ..., 1 (dump1090.c:1513-1533)
+    last = scale(m[MSG_SAMPLES - 1], up)
+
+    def bwd_step(carry, k):
+        e = m[222 - 2 * k]           # even samples are never rewritten
+        f = jnp.where(e > carry, down, up)
+        new_odd = scale(m[221 - 2 * k], f)
+        return new_odd, new_odd
+
+    _, odd_new = lax.scan(bwd_step, last, ks)
+    m_bwd = m.at[MSG_SAMPLES - 1].set(last)
+    m_bwd = m_bwd.at[221 - 2 * ks].set(odd_new)
+
+    # late >= early: seed-scale the first sample, walk forward writing even
+    # indices 2, 4, ..., 222 (dump1090.c:1535-1556)
+    first = scale(m[0], up)
+
+    def fwd_step(carry, k):
+        o = m[2 * k + 1]             # odd samples are never rewritten
+        f = jnp.where(carry > o, up, down)
+        new_even = scale(m[2 * k + 2], f)
+        return new_even, new_even
+
+    _, even_new = lax.scan(fwd_step, first, ks)
+    m_fwd = m.at[0].set(first)
+    m_fwd = m_fwd.at[2 + 2 * ks].set(even_new)
+
+    return jnp.where(is_early, m_bwd, m_fwd)
+
+
+def _candidate_passes(m_pad: jax.Array, pos: jax.Array):
+    """Both demod passes for one candidate at scan position `pos`.
+
+    m_pad is the magnitude vector with one zero sample prepended, so the
+    window always contains m[pos-1] (used only by phase correction, which the
+    reference skips at pos == 0, dump1090.c:1658-1663)."""
+    w = lax.dynamic_slice_in_dim(m_pad, pos, WINDOW)
+    msg_region = w[PREAMBLE_SAMPLES + 1 :]
+    msg1, errors1, df1 = _slice_window(msg_region)
+    gate1 = _noise_gate(msg_region, df1)
+    corrected = _phase_corrected_window(w)
+    corrected = jnp.where(pos > 0, corrected, msg_region)
+    msg2, errors2, df2 = _slice_window(corrected)
+    gate2 = _noise_gate(msg_region, df2)  # gate reads restored originals
+    return msg1, errors1, gate1, msg2, errors2, gate2
+
+
+@functools.partial(jax.jit, static_argnames=("scan_len", "max_candidates"))
+def demod_block(m: jax.Array, *, scan_len: int, max_candidates: int = 512) -> Candidates:
+    """Demodulate one magnitude block: int32[S] -> Candidates.
+
+    scan_len: number of scan positions (reference: S - 240, dump1090.c:1593).
+    """
+    mask = preamble_mask(m, scan_len)
+    n = mask.sum().astype(jnp.int32)
+    (pos,) = jnp.nonzero(mask, size=max_candidates, fill_value=scan_len)
+    pos = pos.astype(jnp.int32)
+    m_pad = jnp.concatenate([jnp.zeros(1, dtype=m.dtype), m])
+    msg1, errors1, gate1, msg2, errors2, gate2 = jax.vmap(
+        _candidate_passes, in_axes=(None, 0)
+    )(m_pad, pos)
+    return Candidates(n, pos, msg1, errors1, gate1, msg2, errors2, gate2)

@@ -1,0 +1,118 @@
+"""Unit tests for the TPU demodulation kernels (contract: dump1090.c:1563-1793)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dump1090_tpu.constants import FULL_LEN_SAMPLES
+from dump1090_tpu.ops import demod as D
+
+
+def _scalar_slice(msg_samples):
+    """Direct scalar transcription of the bit-slice rules
+    (dump1090.c:1669-1706) for differential testing."""
+    bits = np.zeros(112, dtype=np.int32)
+    errors = 0
+    for i in range(0, 224, 2):
+        low, high = int(msg_samples[i]), int(msg_samples[i + 1])
+        delta = abs(low - high)
+        if i > 0 and delta < 256:
+            bits[i // 2] = bits[i // 2 - 1]
+        elif low == high:
+            bits[i // 2] = 2
+            if i < 112:
+                errors += 1
+        elif low > high:
+            bits[i // 2] = 1
+        else:
+            bits[i // 2] = 0
+    msg = np.zeros(14, dtype=np.uint8)
+    for i in range(0, 112, 8):
+        acc = 0
+        for t in range(8):
+            acc |= int(bits[i + t]) << (7 - t)
+        msg[i // 8] = acc & 0xFF
+    return msg, errors
+
+
+def _scalar_phase(w):
+    """Direct scalar transcription of applyPhaseCorrection
+    (dump1090.c:1471-1558)."""
+    w = w.astype(np.int64)
+    on_time = w[1] + w[3] + w[8] + w[10]
+    early = (w[0] + w[7]) * 2
+    late = (w[4] + w[11]) * 2
+    m = w[17:241].copy()
+
+    def scale(v, f):
+        return min(v * f // 16384, 65535)
+
+    if early > late:
+        up = 16384 + 16384 * early // (early + on_time)
+        down = 16384 - 16384 * early // (early + on_time)
+        m[223] = scale(m[223], up)
+        for j in range(238, 16, -2):
+            mj = j - 16
+            f = down if m[mj] > m[mj + 1] else up
+            m[mj - 1] = scale(m[mj - 1], f)
+    else:
+        up = 16384 + 16384 * late // (late + on_time)
+        down = 16384 - 16384 * late // (late + on_time)
+        m[0] = scale(m[0], up)
+        for j in range(16, 238, 2):
+            mj = j - 16
+            f = up if m[mj] > m[mj + 1] else down
+            m[mj + 2] = scale(m[mj + 2], f)
+    return m
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_slice_window_matches_scalar(seed):
+    rng = np.random.default_rng(seed)
+    # mix of strong bits, weak (repeat-rule) cells, and exact-equal cells
+    samples = rng.integers(0, 65168, 224, dtype=np.int64)
+    weak = rng.random(112) < 0.3
+    samples[1::2] = np.where(weak, samples[0::2] + rng.integers(-255, 256, 112),
+                             samples[1::2])
+    samples = np.clip(samples, 0, 65167)
+    eq = rng.random(112) < 0.05
+    samples[1::2] = np.where(eq, samples[0::2], samples[1::2])
+    msg_ref, err_ref = _scalar_slice(samples)
+    msg, err, df = D._slice_window(jnp.asarray(samples, dtype=jnp.int32))
+    assert bytes(np.asarray(msg)) == bytes(msg_ref)
+    assert int(err) == err_ref
+    assert int(df) == msg_ref[0] >> 3
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_phase_correction_matches_scalar(seed):
+    rng = np.random.default_rng(100 + seed)
+    w = rng.integers(0, 65168, 241, dtype=np.int64)
+    ref = _scalar_phase(w)
+    mine = np.asarray(D._phase_corrected_window(jnp.asarray(w, dtype=jnp.int32)))
+    assert (mine == ref).all()
+
+
+def test_preamble_mask_geometry():
+    # craft one clean preamble at position 100 in a quiet buffer
+    m = np.zeros(1000, dtype=np.int32)
+    hi = 10000
+    for k in (0, 2, 7, 9):
+        m[100 + k] = hi
+    mask = np.asarray(D.preamble_mask(jnp.asarray(m), 1000 - FULL_LEN_SAMPLES))
+    assert mask[100]
+    assert mask.sum() == 1
+
+
+def test_demod_block_candidate_compaction():
+    m = np.zeros(2000, dtype=np.int32)
+    for pos in (100, 600, 1100):
+        for k in (0, 2, 7, 9):
+            m[pos + k] = 10000
+    cand = D.demod_block(jnp.asarray(m), scan_len=2000 - FULL_LEN_SAMPLES,
+                         max_candidates=8)
+    assert int(cand.n) == 3
+    assert list(np.asarray(cand.pos[:3])) == [100, 600, 1100]
+    # remaining slots are fill
+    assert (np.asarray(cand.pos[3:]) == 2000 - FULL_LEN_SAMPLES).all()

@@ -1,0 +1,48 @@
+#!/bin/sh
+# Regenerate the golden fixtures in tests/golden/ from the reference binary.
+#
+# The reference (antirez/dump1090, mounted read-only at /root/reference) is
+# built out-of-tree with a stubbed librtlsdr (the --ifile path never touches
+# the device, see dump1090.c:2947-2954), then run on testfiles/modes1.bin in
+# every output mode we lock behavior against.
+set -e
+REF=${REF:-/root/reference}
+OUT=$(cd "$(dirname "$0")/../tests/golden" && pwd)
+BUILD=$(mktemp -d)
+trap 'rm -rf "$BUILD"' EXIT
+
+cat > "$BUILD/rtl-sdr.h" <<'EOF'
+#ifndef RTL_SDR_STUB_H
+#define RTL_SDR_STUB_H
+#include <stdint.h>
+typedef struct rtlsdr_dev rtlsdr_dev_t;
+typedef void (*rtlsdr_read_async_cb_t)(unsigned char *buf, uint32_t len, void *ctx);
+static inline uint32_t rtlsdr_get_device_count(void) { return 0; }
+static inline int rtlsdr_get_device_usb_strings(uint32_t i, char *v, char *p, char *s) { (void)i;(void)v;(void)p;(void)s; return -1; }
+static inline int rtlsdr_open(rtlsdr_dev_t **dev, uint32_t index) { (void)dev;(void)index; return -1; }
+static inline int rtlsdr_close(rtlsdr_dev_t *dev) { (void)dev; return 0; }
+static inline int rtlsdr_set_tuner_gain_mode(rtlsdr_dev_t *d, int m) { (void)d;(void)m; return 0; }
+static inline int rtlsdr_set_tuner_gain(rtlsdr_dev_t *d, int g) { (void)d;(void)g; return 0; }
+static inline int rtlsdr_get_tuner_gain(rtlsdr_dev_t *d) { (void)d; return 0; }
+static inline int rtlsdr_get_tuner_gains(rtlsdr_dev_t *d, int *g) { (void)d; if(g) g[0]=0; return 1; }
+static inline int rtlsdr_set_freq_correction(rtlsdr_dev_t *d, int p) { (void)d;(void)p; return 0; }
+static inline int rtlsdr_set_agc_mode(rtlsdr_dev_t *d, int o) { (void)d;(void)o; return 0; }
+static inline int rtlsdr_set_center_freq(rtlsdr_dev_t *d, uint32_t f) { (void)d;(void)f; return 0; }
+static inline int rtlsdr_set_sample_rate(rtlsdr_dev_t *d, uint32_t r) { (void)d;(void)r; return 0; }
+static inline int rtlsdr_reset_buffer(rtlsdr_dev_t *d) { (void)d; return 0; }
+static inline int rtlsdr_read_async(rtlsdr_dev_t *d, rtlsdr_read_async_cb_t cb, void *ctx, uint32_t n, uint32_t len) { (void)d;(void)cb;(void)ctx;(void)n;(void)len; return 0; }
+#endif
+EOF
+
+cp "$REF/dump1090.c" "$REF/anet.c" "$REF/anet.h" "$BUILD/"
+gcc -O2 -I"$BUILD" "$BUILD/dump1090.c" "$BUILD/anet.c" -o "$BUILD/dump1090" -lpthread -lm
+
+FIX="$REF/testfiles/modes1.bin"
+"$BUILD/dump1090" --ifile "$FIX" --raw                > "$OUT/golden_raw.txt"
+"$BUILD/dump1090" --ifile "$FIX" --stats              > "$OUT/golden_stats.txt"
+"$BUILD/dump1090" --ifile "$FIX" --onlyaddr           > "$OUT/golden_onlyaddr.txt"
+"$BUILD/dump1090" --ifile "$FIX" --raw --no-fix       > "$OUT/golden_raw_nofix.txt"
+"$BUILD/dump1090" --ifile "$FIX" --raw --aggressive   > "$OUT/golden_raw_aggressive.txt"
+"$BUILD/dump1090" --ifile "$FIX" --raw --no-crc-check > "$OUT/golden_raw_nocrccheck.txt"
+"$BUILD/dump1090" --ifile "$FIX"                      > "$OUT/golden_verbose.txt"
+echo "goldens written to $OUT"
