@@ -1,0 +1,349 @@
+"""Command line interface — flag-compatible with the reference dump1090.
+
+Behavioral contract: main/showHelp/argv loop, dump1090.c:2787-3012.  All 26
+reference flags are accepted with identical spellings and semantics; RTL-SDR
+device capture is the one surface this framework does not provide (no USB
+radio on a TPU host — use --ifile/stdin or the port-30001 network input).
+Framework-specific flags are prefixed --tpu-*.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from .constants import INTERACTIVE_ROWS, INTERACTIVE_TTL
+
+HELP = """\
+--device-index <index>   Select RTL device (unsupported here; see --ifile).
+--gain <db>              Set gain (accepted for compatibility).
+--enable-agc             Enable the Automatic Gain Control (compatibility).
+--freq <hz>              Set frequency (compatibility).
+--ppm <error>            Set receiver error in parts per million (compatibility).
+--ifile <filename>       Read data from file (use '-' for stdin).
+--loop                   With --ifile, read the same file in a loop.
+--interactive            Interactive mode refreshing data on screen.
+--interactive-rows <num> Max number of rows in interactive mode (default: 15).
+--interactive-ttl <sec>  Remove from list if idle for <sec> (default: 60).
+--raw                    Show only messages hex values.
+--net                    Enable networking.
+--net-only               Enable just networking, no RTL device or file used.
+--net-ro-port <port>     TCP listening port for raw output (default: 30002).
+--net-ri-port <port>     TCP listening port for raw input (default: 30001).
+--net-http-port <port>   HTTP server port (default: 8080).
+--net-sbs-port <port>    TCP listening port for BaseStation format output (default: 30003).
+--no-fix                 Disable single-bits error correction using CRC.
+--no-crc-check           Disable messages with broken CRC (discouraged).
+--aggressive             More CPU for more messages (two bits fixes, ...).
+--stats                  With --ifile print stats at exit. No other output.
+--onlyaddr               Show only ICAO addresses (testing purposes).
+--metric                 Use metric units (meters, km/h, ...).
+--snip <level>           Strip IQ file removing samples < level.
+--debug <flags>          Debug mode (verbose), see README for details.
+--help                   Show this help.
+
+--tpu-max-candidates <n> Max preamble candidates per block (default: 1024).
+--tpu-backend <name>     JAX platform to use (e.g. cpu, tpu; default: auto).
+
+Debug mode flags: d = Log frames decoded with errors
+                  D = Log frames decoded with zero errors
+                  c = Log frames with bad CRC
+                  C = Log frames with good CRC
+                  p = Log frames with bad preamble
+                  n = Log network debugging info
+                  j = Log frames to frames.js, loadable by debug.html.
+"""
+
+
+class Options:
+    def __init__(self):
+        self.gain = 999999
+        self.dev_index = 0
+        self.enable_agc = False
+        self.freq = 1090000000
+        self.ppm = 0
+        self.filename: str | None = None
+        self.loop = False
+        self.fix_errors = True
+        self.check_crc = True
+        self.raw = False
+        self.net = False
+        self.net_only = False
+        self.onlyaddr = False
+        self.debug = ""
+        self.interactive = False
+        self.interactive_rows = INTERACTIVE_ROWS
+        self.interactive_ttl = INTERACTIVE_TTL
+        self.aggressive = False
+        self.stats = False
+        self.metric = False
+        self.snip: int | None = None
+        self.ro_port = 30002
+        self.ri_port = 30001
+        self.http_port = 8080
+        self.sbs_port = 30003
+        self.max_candidates = 1024
+        self.backend: str | None = None
+
+
+def parse_args(argv: list[str]) -> Options:
+    o = Options()
+    j = 0
+    while j < len(argv):
+        arg = argv[j]
+        more = j + 1 < len(argv)
+
+        def nxt() -> str:
+            nonlocal j
+            j += 1
+            return argv[j]
+
+        if arg == "--device-index" and more:
+            o.dev_index = int(nxt())
+        elif arg == "--gain" and more:
+            o.gain = int(float(nxt()) * 10)
+        elif arg == "--enable-agc":
+            o.enable_agc = True
+        elif arg == "--freq" and more:
+            o.freq = int(nxt())
+        elif arg == "--ppm" and more:
+            o.ppm = int(nxt())
+        elif arg == "--ifile" and more:
+            o.filename = nxt()
+        elif arg == "--loop":
+            o.loop = True
+        elif arg == "--no-fix":
+            o.fix_errors = False
+        elif arg == "--no-crc-check":
+            o.check_crc = False
+        elif arg == "--raw":
+            o.raw = True
+        elif arg == "--net":
+            o.net = True
+        elif arg == "--net-only":
+            o.net = True
+            o.net_only = True
+        elif arg == "--net-ro-port" and more:
+            o.ro_port = int(nxt())
+        elif arg == "--net-ri-port" and more:
+            o.ri_port = int(nxt())
+        elif arg == "--net-http-port" and more:
+            o.http_port = int(nxt())
+        elif arg == "--net-sbs-port" and more:
+            o.sbs_port = int(nxt())
+        elif arg == "--onlyaddr":
+            o.onlyaddr = True
+        elif arg == "--metric":
+            o.metric = True
+        elif arg == "--aggressive":
+            o.aggressive = True
+        elif arg == "--interactive":
+            o.interactive = True
+        elif arg == "--interactive-rows" and more:
+            o.interactive_rows = int(nxt())
+        elif arg == "--interactive-ttl" and more:
+            o.interactive_ttl = int(nxt())
+        elif arg == "--debug" and more:
+            flags = nxt()
+            for f in flags:
+                if f not in "dDcCpnj":
+                    sys.stderr.write(f"Unknown debugging flag: {f}\n")
+                    raise SystemExit(1)
+            o.debug = flags
+        elif arg == "--stats":
+            o.stats = True
+        elif arg == "--snip" and more:
+            o.snip = int(nxt())
+        elif arg == "--tpu-max-candidates" and more:
+            o.max_candidates = int(nxt())
+        elif arg == "--tpu-backend" and more:
+            o.backend = nxt()
+        elif arg == "--help":
+            sys.stdout.write(HELP)
+            raise SystemExit(0)
+        else:
+            sys.stderr.write(
+                f"Unknown or not enough arguments for option '{arg}'.\n\n"
+            )
+            sys.stdout.write(HELP)
+            raise SystemExit(1)
+        j += 1
+    return o
+
+
+def snip_mode(level: int) -> None:
+    """IQ thinning filter: drop runs of >32 consecutive low samples
+    (snipMode, dump1090.c:2226-2244)."""
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
+    c = 0
+    while True:
+        pair = stdin.read(2)
+        if len(pair) < 2:
+            break
+        i, q = pair[0], pair[1]
+        if abs(i - 127) < level and abs(q - 127) < level:
+            c += 1
+            if c > 8 * 4:
+                continue
+        else:
+            c = 0
+        stdout.write(pair)
+    stdout.flush()
+
+
+def print_stats(stats) -> None:
+    """Exit stats printer, byte-identical to dump1090.c:2993-3006."""
+    print(f"{stats.valid_preamble} valid preambles")
+    print(f"{stats.out_of_phase} demodulated again after phase correction")
+    print(f"{stats.demodulated} demodulated with zero errors")
+    print(f"{stats.goodcrc} with good crc")
+    print(f"{stats.badcrc} with bad crc")
+    print(f"{stats.fixed} errors corrected")
+    print(f"{stats.single_bit_fix} single bit errors")
+    print(f"{stats.two_bits_fix} two bits errors")
+    print(f"{stats.goodcrc + stats.fixed} total usable messages")
+
+
+def main(argv: list[str] | None = None) -> int:
+    o = parse_args(sys.argv[1:] if argv is None else argv)
+
+    if o.snip is not None:
+        snip_mode(o.snip)
+        return 0
+
+    if o.backend:
+        import os
+
+        os.environ.setdefault("JAX_PLATFORMS", o.backend)
+
+    from .models.decoder import (
+        DecoderConfig,
+        DecoderStats,
+        IcaoCache,
+        decode_hex_message,
+    )
+    from .models.hub import HubConfig, MessageHub
+    from .models.tracker import AircraftTracker
+    from .utils import display as disp
+
+    dcfg = DecoderConfig(
+        fix_errors=o.fix_errors, check_crc=o.check_crc, aggressive=o.aggressive
+    )
+    hub_cfg = HubConfig(
+        raw=o.raw,
+        onlyaddr=o.onlyaddr,
+        check_crc=o.check_crc,
+        interactive=o.interactive,
+        net=o.net,
+        stats_only=o.stats,
+        metric=o.metric,
+    )
+    tracker = AircraftTracker(interactive_ttl=o.interactive_ttl)
+
+    # decode state: the demod pipeline owns cache+stats in file mode; in
+    # net-only mode there is no pipeline, so create them standalone
+    pipeline = None
+    if o.filename is not None and not o.net_only:
+        from .models.pipeline import DemodPipeline, PipelineConfig
+
+        pipeline = DemodPipeline(
+            PipelineConfig(decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop)
+        )
+        stats, cache = pipeline.stats, pipeline.cache
+    else:
+        stats, cache = DecoderStats(), IcaoCache()
+
+    hub = MessageHub(hub_cfg, tracker, stats)
+
+    net = None
+    if o.net:
+        from .io.net import NetConfig, NetworkServices
+
+        def on_raw_line(line: str) -> None:
+            mm = decode_hex_message(line, cache, dcfg, stats)
+            if mm is not None:
+                hub.use_message(mm)
+
+        def bump(attr: str) -> None:
+            setattr(stats, attr, getattr(stats, attr) + 1)
+
+        net = NetworkServices(
+            NetConfig(
+                ro_port=o.ro_port,
+                ri_port=o.ri_port,
+                http_port=o.http_port,
+                sbs_port=o.sbs_port,
+            ),
+            on_raw_line=on_raw_line,
+            data_json=lambda: disp.aircraft_json(tracker, o.metric),
+            on_http_request=lambda: bump("http_requests"),
+            on_sbs_connect=lambda: bump("sbs_connections"),
+        )
+        hub.raw_sink = net.broadcast_raw
+        hub.sbs_sink = net.broadcast_sbs
+        net.start()
+
+    try:
+        if o.net_only:
+            sys.stderr.write("Net-only mode, no RTL device or file open.\n")
+            while True:
+                time.sleep(0.1)
+                tracker.remove_stale()
+                if o.interactive:
+                    _interactive_refresh(tracker, o)
+            return 0  # unreachable
+
+        if o.filename is None:
+            sys.stderr.write(
+                "No RTL-SDR device support in dump1090-tpu: provide --ifile "
+                "(use '-' for stdin) or --net-only.\n"
+            )
+            return 1
+
+        from .io.sources import open_iq_source
+
+        stream = open_iq_source(o.filename)
+        last_refresh = 0.0
+        try:
+            for mm in pipeline.messages(stream):
+                hub.use_message(mm)
+                if o.interactive:
+                    now = time.time()
+                    if now - last_refresh > 0.25:
+                        _interactive_refresh(tracker, o)
+                        last_refresh = now
+            if o.interactive:
+                _interactive_refresh(tracker, o)  # final state stays visible
+        finally:
+            if stream is not sys.stdin.buffer:
+                stream.close()
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        if net:
+            net.stop()
+
+    if o.stats and o.filename:
+        print_stats(stats)
+    return 0
+
+
+def _interactive_refresh(tracker, o) -> None:
+    import shutil
+
+    from .utils import display as disp
+
+    tracker.remove_stale()
+    rows = o.interactive_rows or (shutil.get_terminal_size().lines)
+    now = int(time.time())
+    sys.stdout.write(
+        disp.interactive_screen(
+            tracker, rows=rows, metric=o.metric, now=now, spinner_t=now
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

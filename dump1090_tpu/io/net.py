@@ -1,0 +1,229 @@
+"""Network services: raw TCP in/out, SBS/BaseStation output, HTTP map server.
+
+Behavioral contract: dump1090.c:2246-2767 (service table :2258-2272, accept
+loop :2300-2337, broadcast :2365-2378, raw protocol :2380-2502, HTTP
+:2504-2651, line framing :2665-2734).
+
+Architecture: the reference polls nonblocking sockets between decode buffers
+from a single thread.  Here the serving plane is an asyncio event loop on a
+dedicated host thread — the TPU compute plane never blocks on sockets, and
+broadcasts are handed over with loop.call_soon_threadsafe.  Wire formats are
+byte-identical; the `Server: Dump1090` header is kept for client
+compatibility.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from ..constants import (
+    NET_HTTP_PORT,
+    NET_INPUT_RAW_PORT,
+    NET_OUTPUT_RAW_PORT,
+    NET_OUTPUT_SBS_PORT,
+)
+
+CONTENT_TYPE_HTML = "text/html;charset=utf-8"
+CONTENT_TYPE_JSON = "application/json;charset=utf-8"
+
+
+@dataclass
+class NetConfig:
+    ro_port: int = NET_OUTPUT_RAW_PORT    # raw output (30002)
+    ri_port: int = NET_INPUT_RAW_PORT     # raw input (30001)
+    http_port: int = NET_HTTP_PORT        # HTTP (8080)
+    sbs_port: int = NET_OUTPUT_SBS_PORT   # BaseStation output (30003)
+    bind_host: str = "0.0.0.0"
+    gmap_path: str = "gmap.html"          # read from CWD at request time, like the reference
+
+
+class NetworkServices:
+    """All four TCP services on a background asyncio loop."""
+
+    def __init__(
+        self,
+        cfg: NetConfig,
+        *,
+        on_raw_line: Callable[[str], None],
+        data_json: Callable[[], str],
+        on_http_request: Callable[[], None] | None = None,
+        on_sbs_connect: Callable[[], None] | None = None,
+    ):
+        self.cfg = cfg
+        self.on_raw_line = on_raw_line
+        self.data_json = data_json
+        self.on_http_request = on_http_request or (lambda: None)
+        self.on_sbs_connect = on_sbs_connect or (lambda: None)
+        self._raw_clients: set[asyncio.StreamWriter] = set()
+        self._sbs_clients: set[asyncio.StreamWriter] = set()
+        self.loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._started = threading.Event()
+        self._servers: list[asyncio.base_events.Server] = []
+
+    # ---- lifecycle --------------------------------------------------------
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, name="net", daemon=True)
+        self._thread.start()
+        self._started.wait(timeout=10)
+
+    def _run(self) -> None:
+        self.loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self.loop)
+        self.loop.run_until_complete(self._start_servers())
+        self._started.set()
+        self.loop.run_forever()
+        # drain on stop
+        for s in self._servers:
+            s.close()
+
+    async def _start_servers(self) -> None:
+        c = self.cfg
+        self._servers = [
+            await asyncio.start_server(self._serve_raw_out, c.bind_host, c.ro_port),
+            await asyncio.start_server(self._serve_raw_in, c.bind_host, c.ri_port),
+            await asyncio.start_server(self._serve_http, c.bind_host, c.http_port),
+            await asyncio.start_server(self._serve_sbs, c.bind_host, c.sbs_port),
+        ]
+
+    def stop(self) -> None:
+        if self.loop is not None:
+            self.loop.call_soon_threadsafe(self.loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # ---- broadcast (thread-safe entry points from the decode thread) ------
+
+    def broadcast_raw(self, text: str) -> None:
+        self._broadcast(self._raw_clients, text)
+
+    def broadcast_sbs(self, text: str) -> None:
+        self._broadcast(self._sbs_clients, text)
+
+    def _broadcast(self, clients: set, text: str) -> None:
+        if self.loop is None or not clients:
+            return
+        data = text.encode()
+
+        def _send() -> None:
+            for w in list(clients):
+                try:
+                    w.write(data)
+                except Exception:
+                    clients.discard(w)
+
+        self.loop.call_soon_threadsafe(_send)
+
+    # ---- raw output 30002: write-only clients ------------------------------
+
+    async def _serve_raw_out(self, reader, writer) -> None:
+        self._raw_clients.add(writer)
+        try:
+            while await reader.read(4096):
+                pass  # reference never reads raw-out clients; drain politely
+        except Exception:
+            pass
+        finally:
+            self._raw_clients.discard(writer)
+            writer.close()
+
+    # ---- raw input 30001: line-framed `*<hex>;` ----------------------------
+
+    async def _serve_raw_in(self, reader, writer) -> None:
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                if len(line) > 1024:  # MODES_CLIENT_BUF_SIZE garbage guard
+                    continue
+                self.on_raw_line(line.decode("ascii", "replace"))
+        except Exception:
+            pass
+        finally:
+            writer.close()
+
+    # ---- SBS output 30003 ---------------------------------------------------
+
+    async def _serve_sbs(self, reader, writer) -> None:
+        self._sbs_clients.add(writer)
+        self.on_sbs_connect()
+        try:
+            while await reader.read(4096):
+                pass
+        except Exception:
+            pass
+        finally:
+            self._sbs_clients.discard(writer)
+            writer.close()
+
+    # ---- HTTP 8080 ----------------------------------------------------------
+
+    async def _serve_http(self, reader, writer) -> None:
+        try:
+            while True:
+                # request framed on \r\n\r\n (dump1090.c:2731-2732)
+                try:
+                    head = await reader.readuntil(b"\r\n\r\n")
+                except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
+                    break
+                text = head.decode("latin-1")
+                keepalive = self._keepalive(text)
+                url = self._url(text)
+                if url is None:
+                    break
+                if "/data.json" in url:
+                    content = self.data_json().encode()
+                    ctype = CONTENT_TYPE_JSON
+                else:
+                    content, ctype = self._page_content()
+                hdr = (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Server: Dump1090\r\n"
+                    f"Content-Type: {ctype}\r\n"
+                    f"Connection: {'keep-alive' if keepalive else 'close'}\r\n"
+                    f"Content-Length: {len(content)}\r\n"
+                    "Access-Control-Allow-Origin: *\r\n"
+                    "\r\n"
+                )
+                writer.write(hdr.encode() + content)
+                await writer.drain()
+                self.on_http_request()
+                if not keepalive:
+                    break
+        except Exception:
+            pass
+        finally:
+            writer.close()
+
+    @staticmethod
+    def _keepalive(head: str) -> bool:
+        if "HTTP/1.1" in head:
+            return "Connection: close" not in head
+        return "Connection: keep-alive" in head
+
+    @staticmethod
+    def _url(head: str) -> str | None:
+        sp = head.find(" ")
+        if sp < 0:
+            return None
+        sp2 = head.find(" ", sp + 1)
+        if sp2 < 0:
+            return None
+        return head[sp + 1 : sp2]
+
+    def _page_content(self) -> tuple[bytes, str]:
+        # like the reference, the map page is read from CWD at request time
+        # (dump1090.c:2602-2623), falling back to the packaged asset
+        p = Path(self.cfg.gmap_path)
+        if not p.exists():
+            p = Path(__file__).parent / "http_assets" / "gmap.html"
+        try:
+            return p.read_bytes(), CONTENT_TYPE_HTML
+        except OSError as e:
+            return f"Error opening HTML file: {e}".encode(), CONTENT_TYPE_HTML

@@ -281,6 +281,32 @@ def decode_message(
     return mm
 
 
+def decode_hex_message(
+    line: str,
+    cache: IcaoCache,
+    cfg: DecoderConfig,
+    stats: DecoderStats | None = None,
+) -> ModesMessage | None:
+    """Parse one `*<hex>;` raw-protocol line and decode it
+    (decodeHexMessage, dump1090.c:2472-2502).  Returns None for invalid
+    input — silently discarded, never an error, like the reference.
+
+    Divergence note: for frames shorter than the DF-implied length the
+    reference reads uninitialized stack bytes (C UB); we deterministically
+    zero-fill the tail."""
+    hexstr = line.strip()
+    if len(hexstr) < 2 or hexstr[0] != "*" or hexstr[-1] != ";":
+        return None
+    body = hexstr[1:-1]
+    if len(body) > LONG_MSG_BYTES * 2 or len(body) % 2:
+        return None
+    try:
+        raw = bytes.fromhex(body)
+    except ValueError:
+        return None
+    return decode_message(raw, cache, cfg, stats)
+
+
 def _decode_extended_squitter(mm: ModesMessage, msg: np.ndarray) -> None:
     """DF17/18 ME-field decode (dump1090.c:1225-1308)."""
     b = [int(x) for x in msg]

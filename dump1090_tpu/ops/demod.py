@@ -112,8 +112,11 @@ def _slice_window(msg_samples: jax.Array):
     raw = jnp.where(low > high, 1, 0).astype(jnp.int32)
     raw = raw.at[0].set(jnp.where(low[0] == high[0], 2, raw[0]))
     confident = (t == 0) | (delta >= BIT_REPEAT_DELTA)
-    src = lax.cummax(jnp.where(confident, t, -1))
-    bits = jnp.take(raw, src)
+    # fill-forward without a gather: encode (index, bit) as index*4+bit, take
+    # a cumulative max (monotonic in index over confident cells), and strip
+    # the index — each cell inherits the latest confident cell's bit
+    coded = jnp.where(confident, (t << 2) | raw, -1)
+    bits = lax.cummax(coded) & 3
 
     # error bits (value 2) are only assigned at cell 0 and counted when the
     # cell index is below the short-message length (dump1090.c:1677-1682)
@@ -212,13 +215,11 @@ def _phase_corrected_window(w: jax.Array) -> jax.Array:
     return jnp.where(is_early, m_bwd, m_fwd)
 
 
-def _candidate_passes(m_pad: jax.Array, pos: jax.Array):
-    """Both demod passes for one candidate at scan position `pos`.
-
-    m_pad is the magnitude vector with one zero sample prepended, so the
-    window always contains m[pos-1] (used only by phase correction, which the
-    reference skips at pos == 0, dump1090.c:1658-1663)."""
-    w = lax.dynamic_slice_in_dim(m_pad, pos, WINDOW)
+def candidate_passes_window(w: jax.Array, pos: jax.Array):
+    """Both demod passes for one candidate given its gathered window
+    (int32[241], w[0] = m[pos-1]).  `pos` is the *stream-global* scan
+    position: phase correction is skipped at pos == 0, where m[-1] does not
+    exist (dump1090.c:1658-1663)."""
     msg_region = w[PREAMBLE_SAMPLES + 1 :]
     msg1, errors1, df1 = _slice_window(msg_region)
     gate1 = _noise_gate(msg_region, df1)
@@ -229,6 +230,28 @@ def _candidate_passes(m_pad: jax.Array, pos: jax.Array):
     return msg1, errors1, gate1, msg2, errors2, gate2
 
 
+def _candidate_passes(m_pad: jax.Array, pos: jax.Array):
+    """Both demod passes for one candidate at scan position `pos`.
+
+    m_pad is the magnitude vector with one zero sample prepended, so the
+    window always contains m[pos-1].  Magnitudes are <= 65167, so the gather
+    traffic runs at uint16 width; window math is int32."""
+    w = lax.dynamic_slice_in_dim(m_pad, pos, WINDOW)
+    return candidate_passes_window(w.astype(jnp.int32), pos)
+
+
+def compact_positions(mask: jax.Array, max_candidates: int, scan_len: int) -> jax.Array:
+    """Indices of set mask positions, ascending, padded with `scan_len`.
+
+    Implemented as top_k over negated indices: TPU's sort-based top_k is ~10x
+    faster than the cumsum+scatter lowering of jnp.nonzero(size=...), and
+    keeps the FIRST max_candidates hits like the reference scan order."""
+    iota = lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    score = jnp.where(mask, -iota, jnp.int32(-(2**30)))
+    vals, _ = lax.top_k(score, max_candidates)
+    return jnp.minimum(-vals, jnp.int32(scan_len))
+
+
 @functools.partial(jax.jit, static_argnames=("scan_len", "max_candidates"))
 def demod_block(m: jax.Array, *, scan_len: int, max_candidates: int = 512) -> Candidates:
     """Demodulate one magnitude block: int32[S] -> Candidates.
@@ -237,9 +260,10 @@ def demod_block(m: jax.Array, *, scan_len: int, max_candidates: int = 512) -> Ca
     """
     mask = preamble_mask(m, scan_len)
     n = mask.sum().astype(jnp.int32)
-    (pos,) = jnp.nonzero(mask, size=max_candidates, fill_value=scan_len)
-    pos = pos.astype(jnp.int32)
-    m_pad = jnp.concatenate([jnp.zeros(1, dtype=m.dtype), m])
+    pos = compact_positions(mask, max_candidates, scan_len)
+    m_pad = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.uint16), m.astype(jnp.uint16)]
+    )
     msg1, errors1, gate1, msg2, errors2, gate2 = jax.vmap(
         _candidate_passes, in_axes=(None, 0)
     )(m_pad, pos)

@@ -3,8 +3,17 @@ import sys
 from pathlib import Path
 
 # Tests run the JAX pipeline on a virtual 8-device CPU mesh so sharding tests
-# work without TPU hardware; set env before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# work without TPU hardware; set env before jax is imported anywhere.  This
+# must *override* the host environment (which may point JAX_PLATFORMS at a
+# tunneled TPU platform like "axon") — set DUMP1090_TEST_TPU=1 to run the
+# suite against the real device instead.
+if not os.environ.get("DUMP1090_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize registers the TPU plugin programmatically and
+    # wins over the env var — override through jax.config as well
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

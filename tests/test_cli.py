@@ -1,0 +1,72 @@
+"""CLI surface tests — byte-exact against the reference's stdout
+(contract: dump1090.c:2787-3012)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(args, stdin=None, timeout=180):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    if not os.environ.get("DUMP1090_TEST_TPU"):
+        env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "dump1090_tpu", *args],
+        capture_output=True, input=stdin, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_verbose_output_byte_exact(modes1_path, golden_dir):
+    r = run_cli(["--ifile", str(modes1_path)])
+    assert r.returncode == 0
+    assert r.stdout.decode() == (golden_dir / "golden_verbose.txt").read_text()
+
+
+def test_stats_output_byte_exact(modes1_path, golden_dir):
+    r = run_cli(["--ifile", str(modes1_path), "--stats"])
+    assert r.returncode == 0
+    assert r.stdout.decode() == (golden_dir / "golden_stats.txt").read_text()
+
+
+def test_help_exits_zero():
+    r = run_cli(["--help"])
+    assert r.returncode == 0
+    assert b"--ifile <filename>" in r.stdout
+    assert b"--aggressive" in r.stdout
+
+
+def test_unknown_flag_shows_help_and_exits_1():
+    r = run_cli(["--bogus"])
+    assert r.returncode == 1
+    assert b"Unknown or not enough arguments" in r.stderr
+
+
+def test_no_input_is_an_error():
+    r = run_cli([])
+    assert r.returncode == 1
+    assert b"--ifile" in r.stderr
+
+
+def test_snip_mode_parity(modes1_path):
+    data = modes1_path.read_bytes()[:100000]
+    r = run_cli(["--snip", "25"], stdin=data)
+    assert r.returncode == 0
+    # scalar port of snipMode (dump1090.c:2230-2244)
+    out = bytearray()
+    c = 0
+    for k in range(0, len(data) - 1, 2):
+        i, q = data[k], data[k + 1]
+        if abs(i - 127) < 25 and abs(q - 127) < 25:
+            c += 1
+            if c > 32:
+                continue
+        else:
+            c = 0
+        out += bytes((i, q))
+    assert r.stdout == bytes(out)

@@ -1,0 +1,104 @@
+"""Output-format tests: SBS CSV, JSON, raw hex, interactive screen
+(contract: dump1090.c:2380-2551, 2166-2199)."""
+
+from dump1090_tpu.models.decoder import DecoderConfig, IcaoCache, decode_message
+from dump1090_tpu.models.tracker import Aircraft, AircraftTracker
+from dump1090_tpu.utils import display as disp
+
+
+def _mm(hexstr):
+    return decode_message(bytes.fromhex(hexstr), IcaoCache(), DecoderConfig())
+
+
+def test_raw_hex_case():
+    mm = _mm("5d4d20237a55a6")
+    assert disp.raw_hex(mm) == "*5d4d20237a55a6;"             # stdout: lowercase
+    assert disp.raw_hex(mm, upper=True) == "*5D4D20237A55A6;"  # TCP: uppercase
+
+
+def test_sbs_df11():
+    mm = _mm("5d4d20237a55a6")
+    a = Aircraft(mm.addr)
+    assert disp.sbs_line(mm, a) == "MSG,8,,,4D2023,,,,,,,,,,,,,,,,,"
+
+
+def test_sbs_velocity_msg4():
+    mm = _mm("8d4d2023991094ad487c14fc9e3d")
+    a = Aircraft(mm.addr)
+    a.speed, a.track = mm.velocity, mm.heading
+    line = disp.sbs_line(mm, a)
+    # vert_rate_sign=1 -> negative: (31-1)*64 = 1920 (dump1090.c:2432-2436)
+    assert line == "MSG,4,,,4D2023,,,,,,,,391,157,,,-1920,,0,0,0,0"
+
+
+def test_sbs_position_msg3_with_and_without_fix():
+    mm = _mm("8d40621d58c382d690c8ac2863a7")
+    a = Aircraft(mm.addr)
+    assert disp.sbs_line(mm, a) == "MSG,3,,,40621D,,,,,,,38000,,,,,,,0,0,0,0"
+    a.lat, a.lon = 52.2572021484375, 3.91937255859375
+    assert (
+        disp.sbs_line(mm, a)
+        == "MSG,3,,,40621D,,,,,,,38000,,,52.25720,3.91937,,,0,0,0,0"
+    )
+
+
+def test_sbs_squawk_emergency_flags():
+    # DF5 identity reply with FS=1 (on ground); craft via raw bytes
+    mm = _mm("280010248c796b")
+    assert mm.msgtype == 5
+    line = disp.sbs_line(mm, Aircraft(mm.addr))
+    assert line is not None and line.startswith("MSG,6,,,")
+    parts = line.split(",")
+    assert parts[17] == str(mm.identity)
+
+
+def test_aircraft_json_empty_and_populated():
+    tr = AircraftTracker(clock=lambda: 0)
+    assert disp.aircraft_json(tr) == "[\n]\n"
+    a = Aircraft(0x4D2023)
+    a.flight, a.lat, a.lon, a.altitude, a.track, a.speed = (
+        "ABC123", 52.25, 3.91, 38000, 157, 391,
+    )
+    tr.aircraft.append(a)
+    js = disp.aircraft_json(tr)
+    assert (
+        js
+        == '[\n{"hex":"4d2023", "flight":"ABC123", "lat":52.250000, '
+        '"lon":3.910000, "altitude":38000, "track":157, "speed":391}\n]\n'
+    )
+    # aircraft without a position fix are omitted (dump1090.c:2522)
+    tr.aircraft.append(Aircraft(0x111111))
+    assert disp.aircraft_json(tr) == js
+
+
+def test_interactive_screen_layout():
+    tr = AircraftTracker(clock=lambda: 100)
+    a = Aircraft(0x4D2023)
+    a.flight, a.altitude, a.speed, a.messages, a.seen = "ABC123", 38000, 391, 7, 98
+    tr.aircraft.append(a)
+    screen = disp.interactive_screen(tr, rows=15, metric=False, now=100, spinner_t=0)
+    assert screen.startswith("\x1b[H\x1b[2J")
+    assert "Hex    Flight   Altitude  Speed" in screen
+    line = screen.splitlines()[-1]
+    assert line.startswith("4d2023 ABC123   38000     391")
+    assert line.endswith("2 sec")
+
+
+def test_metric_conversion_truncates_like_c():
+    tr = AircraftTracker(clock=lambda: 0)
+    a = Aircraft(0x123456)
+    a.lat, a.lon, a.altitude, a.speed = 1.0, 1.0, 38000, 391
+    tr.aircraft.append(a)
+    js = disp.aircraft_json(tr, metric=True)
+    assert '"altitude":11575' in js   # 38000/3.2828 = 11575.48 -> 11575
+    assert '"speed":724' in js        # 391*1.852 = 724.13 -> 724
+
+
+def test_verbose_heading_subtype3_has_no_newline():
+    # dump1090.c:1428-1429 omits both newlines for mesub 3/4 heading lines
+    mm = _mm("8d4d2023991094ad487c14fc9e3d")
+    mm.mesub = 3
+    mm.heading_is_valid = 4
+    mm.heading = 270
+    text = disp.display_message(mm)
+    assert text.endswith("    Heading status: 4    Heading: 270")

@@ -1,0 +1,112 @@
+"""Network service tests: raw relay, SBS broadcast, HTTP endpoints
+(contract: dump1090.c:2246-2767)."""
+
+import socket
+import time
+import urllib.request
+
+import pytest
+
+from dump1090_tpu.io.net import NetConfig, NetworkServices
+from dump1090_tpu.models.decoder import (
+    DecoderConfig,
+    DecoderStats,
+    IcaoCache,
+    decode_hex_message,
+)
+from dump1090_tpu.models.hub import HubConfig, MessageHub
+from dump1090_tpu.models.tracker import AircraftTracker
+
+
+def _free_ports(n):
+    socks = [socket.socket() for _ in range(n)]
+    for s in socks:
+        s.bind(("127.0.0.1", 0))
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+    return ports
+
+
+@pytest.fixture
+def services():
+    ro, ri, http, sbs = _free_ports(4)
+    cache, cfg, stats = IcaoCache(), DecoderConfig(), DecoderStats()
+    tracker = AircraftTracker()
+    hub = MessageHub(
+        HubConfig(net=True, raw=True), tracker, stats, out=open("/dev/null", "w")
+    )
+
+    def on_raw_line(line):
+        mm = decode_hex_message(line, cache, cfg, stats)
+        if mm is not None:
+            hub.use_message(mm)
+
+    net = NetworkServices(
+        NetConfig(ro_port=ro, ri_port=ri, http_port=http, sbs_port=sbs,
+                  bind_host="127.0.0.1"),
+        on_raw_line=on_raw_line,
+        data_json=lambda: '[\n]\n',
+        on_http_request=lambda: setattr(stats, "http_requests", stats.http_requests + 1),
+        on_sbs_connect=lambda: setattr(stats, "sbs_connections", stats.sbs_connections + 1),
+    )
+    hub.raw_sink = net.broadcast_raw
+    hub.sbs_sink = net.broadcast_sbs
+    net.start()
+    yield net, (ro, ri, http, sbs), stats
+    net.stop()
+
+
+def test_raw_in_to_raw_out_relay(services):
+    net, (ro, ri, http, sbs), stats = services
+    out = socket.create_connection(("127.0.0.1", ro), timeout=5)
+    out.settimeout(5)
+    time.sleep(0.1)
+    inp = socket.create_connection(("127.0.0.1", ri), timeout=5)
+    inp.sendall(b"*8D4D2023991094AD487C14FC9E3D;\n*garbage;\nnoise\n*5D4D20237A55A6;\n")
+    got = b""
+    while b"5D4D2023" not in got:
+        got += out.recv(4096)
+    # valid frames re-broadcast uppercase; garbage silently dropped
+    assert got == b"*8D4D2023991094AD487C14FC9E3D;\n*5D4D20237A55A6;\n"
+    inp.close()
+    out.close()
+
+
+def test_http_data_json_and_page(services):
+    net, (ro, ri, http, sbs), stats = services
+    body = urllib.request.urlopen(f"http://127.0.0.1:{http}/data.json", timeout=5)
+    assert body.headers["Content-Type"].startswith("application/json")
+    assert body.headers["Access-Control-Allow-Origin"] == "*"
+    assert body.read() == b"[\n]\n"
+    page = urllib.request.urlopen(f"http://127.0.0.1:{http}/anything", timeout=5)
+    html = page.read()
+    assert b"<html" in html.lower()
+    deadline = time.time() + 5  # counter bumps on the server thread
+    while stats.http_requests < 2 and time.time() < deadline:
+        time.sleep(0.02)
+    assert stats.http_requests == 2
+
+
+def test_sbs_connection_counter(services):
+    net, (ro, ri, http, sbs), stats = services
+    c = socket.create_connection(("127.0.0.1", sbs), timeout=5)
+    deadline = time.time() + 5
+    while stats.sbs_connections == 0 and time.time() < deadline:
+        time.sleep(0.02)
+    assert stats.sbs_connections == 1
+    c.close()
+
+
+def test_hex_input_rejects_like_reference():
+    cache, cfg = IcaoCache(), DecoderConfig()
+    assert decode_hex_message("  *5d4d20237a55a6;  \n", cache, cfg) is not None
+    assert decode_hex_message("5d4d20237a55a6;", cache, cfg) is None   # no '*'
+    assert decode_hex_message("*5d4d20237a55a6", cache, cfg) is None   # no ';'
+    assert decode_hex_message("*5d4d20237a55a;", cache, cfg) is None   # odd length
+    assert decode_hex_message("*zz4d20237a55a6;", cache, cfg) is None  # bad hex
+    assert decode_hex_message("*" + "ab" * 15 + ";", cache, cfg) is None  # >14 bytes
+    # empty body: reference decodes uninitialized stack memory (C UB); we
+    # deterministically decode a zero-filled frame (documented divergence)
+    mm = decode_hex_message("*;", cache, cfg)
+    assert mm is not None and mm.msgtype == 0
