@@ -246,9 +246,11 @@ def main(argv: list[str] | None = None) -> int:
     pipeline = None
     if o.filename is not None and not o.net_only:
         from .models.pipeline import DemodPipeline, PipelineConfig
+        from .utils.debug import DebugFlags
 
         pipeline = DemodPipeline(
-            PipelineConfig(decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop)
+            PipelineConfig(decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop),
+            debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
         )
         stats, cache = pipeline.stats, pipeline.cache
     else:
@@ -304,15 +306,20 @@ def main(argv: list[str] | None = None) -> int:
         from .io.sources import open_iq_source
 
         stream = open_iq_source(o.filename)
-        last_refresh = 0.0
+        last_refresh = [0.0]
+
+        def on_message(mm) -> None:
+            # inline emission: keeps --debug dumps and message display
+            # interleaved in scan order, exactly like the reference
+            hub.use_message(mm)
+            if o.interactive:
+                now = time.time()
+                if now - last_refresh[0] > 0.25:
+                    _interactive_refresh(tracker, o)
+                    last_refresh[0] = now
+
         try:
-            for mm in pipeline.messages(stream):
-                hub.use_message(mm)
-                if o.interactive:
-                    now = time.time()
-                    if now - last_refresh > 0.25:
-                        _interactive_refresh(tracker, o)
-                        last_refresh = now
+            pipeline.run(stream, on_message)
             if o.interactive:
                 _interactive_refresh(tracker, o)  # final state stays visible
         finally:

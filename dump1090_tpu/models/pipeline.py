@@ -38,49 +38,86 @@ class PipelineConfig:
 class DemodPipeline:
     """Streaming demodulator over reference-geometry IQ buffers."""
 
-    def __init__(self, cfg: PipelineConfig | None = None, clock=None):
+    def __init__(
+        self,
+        cfg: PipelineConfig | None = None,
+        clock=None,
+        debug_flags=None,
+        debug_out=None,
+    ):
         self.cfg = cfg or PipelineConfig()
         self.stats = DecoderStats()
         self.cache = IcaoCache(clock=clock)
+        self.debug_flags = debug_flags  # utils.debug.DebugFlags | None
+        self.debug_out = debug_out
+        # --debug p prints the scratch msg buffer's stale content; in the
+        # reference that is the previous detectModeS call's last sliced
+        # message (the same stack frame is reused), so it carries across
+        # buffers.  Before the very first slice it is true C garbage, where
+        # we deterministically use zeros (documented divergence).
+        self._debug_last_msg = None
+
+    @property
+    def _debugging(self) -> bool:
+        return self.debug_flags is not None and self.debug_flags.any_demod_dump
 
     def _demod(self, buf: np.ndarray):
         import jax.numpy as jnp
 
         mag = magnitude_from_iq(jnp.asarray(buf))
-        return demod_block(
+        cand = demod_block(
             mag,
             scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
             max_candidates=self.cfg.max_candidates,
         )
+        if not self._debugging:
+            return cand, None, None
+        from ..ops.demod import preamble_reject_stages
+
+        rej = preamble_reject_stages(mag, scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES)
+        return cand, mag, rej
 
     def run(self, stream: BinaryIO, emit: Callable[[ModesMessage], None]) -> None:
         """Decode a whole IQ stream, calling `emit` for every message the
         reference would hand to useModesMessage."""
-        pending = None  # device results for the previous buffer (async)
-        for buf in iq_buffers(stream, loop=self.cfg.loop):
-            cand = self._demod(buf)  # enqueued asynchronously by JAX
-            if pending is not None:
-                self._resolve(pending, emit)
-            pending = cand
-        if pending is not None:
-            self._resolve(pending, emit)
-
-    def _resolve(self, cand, emit) -> None:
-        host = BlockCandidates.from_device(cand)
-        resolve_block(host, self.cache, self.cfg.decoder, self.stats, emit)
+        for _ in self._stream(stream, emit):
+            pass
 
     def messages(self, stream: BinaryIO) -> Iterator[ModesMessage]:
         out: list[ModesMessage] = []
-        pending = None
+        yield from self._stream(stream, out.append, out)
+
+    def _stream(self, stream, emit, drain: list | None = None):
+        pending = None  # device results for the previous buffer (async)
         for buf in iq_buffers(stream, loop=self.cfg.loop):
-            cand = self._demod(buf)
+            work = self._demod(buf)  # enqueued asynchronously by JAX
             if pending is not None:
-                host = BlockCandidates.from_device(pending)
-                resolve_block(host, self.cache, self.cfg.decoder, self.stats, out.append)
-                yield from out
-                out.clear()
-            pending = cand
+                self._resolve(pending, emit)
+                if drain is not None:
+                    yield from drain
+                    drain.clear()
+            pending = work
         if pending is not None:
-            host = BlockCandidates.from_device(pending)
-            resolve_block(host, self.cache, self.cfg.decoder, self.stats, out.append)
-            yield from out
+            self._resolve(pending, emit)
+            if drain is not None:
+                yield from drain
+                drain.clear()
+
+    def _resolve(self, work, emit) -> None:
+        cand, mag, rej = work
+        host = BlockCandidates.from_device(cand)
+        debug = None
+        if self._debugging:
+            from .resolver import DebugContext
+
+            debug = DebugContext(
+                flags=self.debug_flags,
+                mag=np.asarray(mag),
+                reject_code=np.asarray(rej),
+                out=self.debug_out,
+            )
+            if self._debug_last_msg is not None:
+                debug.last_msg = self._debug_last_msg
+        resolve_block(host, self.cache, self.cfg.decoder, self.stats, emit, debug)
+        if debug is not None:
+            self._debug_last_msg = debug.last_msg

@@ -92,6 +92,37 @@ def preamble_mask(m: jax.Array, scan_len: int) -> jax.Array:
     return c
 
 
+@functools.partial(jax.jit, static_argnames=("scan_len",))
+def preamble_reject_stages(m: jax.Array, *, scan_len: int) -> jax.Array:
+    """Debug-mode companion of preamble_mask: uint8 rejection code per scan
+    position — 0 pass, 1 failed the 10-sample relational test, 2 failed the
+    3..6 high-level test, 3 failed the 10..15 quiet-tail test.  Mirrors the
+    reference's three --debug p dump sites (dump1090.c:1602-1650)."""
+
+    def s(k: int) -> jax.Array:
+        return lax.dynamic_slice_in_dim(m, k, scan_len)
+
+    stage1 = (
+        (s(0) > s(1))
+        & (s(1) < s(2))
+        & (s(2) > s(3))
+        & (s(3) < s(0))
+        & (s(4) < s(0))
+        & (s(5) < s(0))
+        & (s(6) < s(0))
+        & (s(7) > s(8))
+        & (s(8) < s(9))
+        & (s(9) > s(6))
+    )
+    high = (s(0) + s(2) + s(7) + s(9)) // 6
+    stage2 = (s(4) < high) & (s(5) < high)
+    stage3 = (s(11) < high) & (s(12) < high) & (s(13) < high) & (s(14) < high)
+    code = jnp.where(
+        ~stage1, 1, jnp.where(~stage2, 2, jnp.where(~stage3, 3, 0))
+    )
+    return code.astype(jnp.uint8)
+
+
 def _slice_window(msg_samples: jax.Array):
     """PPM bit-slice one 224-sample message window (dump1090.c:1666-1706).
 

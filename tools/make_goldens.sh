@@ -45,4 +45,7 @@ FIX="$REF/testfiles/modes1.bin"
 "$BUILD/dump1090" --ifile "$FIX" --raw --aggressive   > "$OUT/golden_raw_aggressive.txt"
 "$BUILD/dump1090" --ifile "$FIX" --raw --no-crc-check > "$OUT/golden_raw_nocrccheck.txt"
 "$BUILD/dump1090" --ifile "$FIX"                      > "$OUT/golden_verbose.txt"
+"$BUILD/dump1090" --ifile "$FIX" --debug c            > "$OUT/golden_debug_c.txt"
+(cd "$BUILD" && rm -f frames.js && ./dump1090 --ifile "$FIX" --debug Dj > /dev/null \
+  && cp frames.js "$OUT/golden_frames_Dj.js")
 echo "goldens written to $OUT"
