@@ -46,9 +46,10 @@ def main() -> None:
     else:  # synthetic fallback: silence
         raw = np.full(4 * BLOCK_SAMPLES * 2, 127, dtype=np.uint8)
 
-    reps = max(1, int(np.ceil(32 * BLOCK_SAMPLES * 2 / len(raw))))
+    n_target = 128  # amortizes the runtime's ~1.8 ms fixed per-step overhead
+    reps = max(1, int(np.ceil(n_target * BLOCK_SAMPLES * 2 / len(raw))))
     stream = np.concatenate([np.full(476, 127, np.uint8)] + [raw] * reps)
-    bufs = np.asarray(overlapping_buffers(stream))
+    bufs = np.asarray(overlapping_buffers(stream))[:n_target]
     n_buf = bufs.shape[0]
     new_samples = n_buf * BLOCK_SAMPLES
     print(f"batch: {n_buf} buffers x {BUF_SAMPLES} samples "
@@ -71,7 +72,7 @@ def main() -> None:
     _ = int(jax.device_get(looped(x, 1)))
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    L = 16
+    L = 8
     _ = int(jax.device_get(looped(x, L)))  # compile the L version
     best = float("inf")
     for _ in range(3):

@@ -1,0 +1,116 @@
+"""Candidate-window gather kernel (Pallas TPU).
+
+XLA's gather lowering on TPU issues one serial row-copy per window
+(~1.3 us each — measured; width- and alignment-independent), which makes the
+16K-window gather the demodulator's bottleneck.  This kernel streams windows
+with explicit DMAs instead, CHUNK copies in flight per grid step.
+
+Mosaic constrains HBM slices to the (8, 128) tile grid, so the magnitude
+vector is viewed as (rows, 128) and each candidate fetches an aligned
+(16, 128) tile that covers its 241-sample window; the window is then cut out
+in-register with dynamic rolls (sublane roll + lane funnel-shift).
+
+A jnp fallback (flat vmapped dynamic_slice) keeps CPU tests exact; interpret
+mode validates the kernel itself off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WINDOW_PAD = 256   # emitted window width (241 used)
+CHUNK = 16         # candidates per grid step (concurrent DMAs)
+TILE_ROWS = 16     # aligned rows fetched per candidate (16*128 = 2048 samples)
+LANES = 128
+
+
+def _gather_kernel(pos_ref, m_ref, out_ref, tiles, sems):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_mc = pl.num_programs(1)
+    base = b * (n_mc * CHUNK) + c * CHUNK
+
+    def dma(k):
+        p = pos_ref[base + k]
+        r8 = (p // LANES) & ~7  # 8-aligned row base, window fits in 16 rows
+        r8 = pl.multiple_of(r8, 8)
+        return pltpu.make_async_copy(
+            m_ref.at[b, pl.ds(r8, TILE_ROWS), :],
+            tiles.at[k],
+            sems.at[k],
+        )
+
+    for k in range(CHUNK):
+        dma(k).start()
+    for k in range(CHUNK):
+        dma(k).wait()
+
+    for k in range(CHUNK):
+        p = pos_ref[base + k]
+        r8 = (p // LANES) & ~7
+        off = p - r8 * LANES          # window start within the tile, < 1024+128
+        a = off // LANES              # starting row inside the tile (< 9)
+        r = off % LANES               # starting lane
+        # tpu.dynamic_rotate only handles 32-bit lanes — widen before rolling
+        t = tiles[k].astype(jnp.int32)       # (16, 128)
+        t = pltpu.roll(t, TILE_ROWS - a, 0)  # rows a.. to the top (dyn sublane roll)
+        # funnel shift: pair each of the first two rows with its successor,
+        # rotate lanes by r, keep the left half — row i then holds the 128
+        # consecutive samples starting at window offset 128*i
+        paired = jnp.concatenate(
+            [t[:2], pltpu.roll(t, TILE_ROWS - 1, 0)[:2]], axis=1
+        )                                               # (2, 256)
+        shifted = pltpu.roll(paired, 2 * LANES - r, 1)[:, :LANES]  # (2, 128)
+        out_ref[0, k, :] = shifted.reshape(WINDOW_PAD).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_windows(m_pad: jax.Array, pos: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Gather (B, MC, WINDOW_PAD) uint16 windows from m_pad (B, S_pad).
+
+    m_pad must include the one-sample lead (m[pos-1] at index pos), at least
+    WINDOW_PAD + 2048 samples of tail padding beyond the largest pos, and
+    S_pad must be a multiple of 1024 (8 rows x 128 lanes)."""
+    B, S_pad = m_pad.shape
+    assert S_pad % (8 * LANES) == 0, S_pad
+    _, MC = pos.shape
+    assert MC % CHUNK == 0, MC
+    m2d = m_pad.reshape(B, S_pad // LANES, LANES)
+    grid = (B, MC // CHUNK)
+    return pl.pallas_call(
+        _gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, CHUNK, WINDOW_PAD),
+                lambda b, c, pos_ref: (b, c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((CHUNK, TILE_ROWS, LANES), jnp.uint16),
+                pltpu.SemaphoreType.DMA((CHUNK,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, MC, WINDOW_PAD), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(pos.reshape(-1), m2d)
+
+
+def gather_windows_xla(m_pad: jax.Array, pos: jax.Array, width: int = WINDOW_PAD) -> jax.Array:
+    """Reference jnp implementation (flat single-level vmapped slice)."""
+    B, S_pad = m_pad.shape
+    flat = m_pad.reshape(-1)
+    gpos = pos + (jnp.arange(B, dtype=jnp.int32) * S_pad)[:, None]
+    w = jax.vmap(lambda p: lax.dynamic_slice_in_dim(flat, p, width))(
+        gpos.reshape(-1)
+    )
+    return w.reshape(B, pos.shape[1], width).astype(jnp.int32)

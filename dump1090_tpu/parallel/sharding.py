@@ -65,24 +65,26 @@ def overlapping_buffers(iq: np.ndarray) -> np.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scan_len", "max_candidates"))
-def demod_batch(iq_buffers: jax.Array, *, scan_len: int, max_candidates: int) -> Candidates:
+@functools.partial(jax.jit, static_argnames=("scan_len", "max_candidates", "pallas"))
+def demod_batch(
+    iq_buffers: jax.Array, *, scan_len: int, max_candidates: int,
+    pallas: bool | None = None,
+) -> Candidates:
     """Batched demodulation of (N, nbytes) uint8 IQ buffers — the single-chip
     throughput path and, with a sharded input, the data-parallel multi-chip
     path (shard the N axis; XLA partitions everything else automatically)."""
+    from ..ops.demod import candidate_passes_window, gather_candidate_windows, use_pallas_gather
 
-    def one(buf):
-        m = magnitude_from_iq(buf)
-        mask = preamble_mask(m, scan_len)
-        n = mask.sum().astype(jnp.int32)
-        pos = compact_positions(mask, max_candidates, scan_len)
-        m_pad = jnp.concatenate(
-            [jnp.zeros(1, dtype=jnp.uint16), m.astype(jnp.uint16)]
-        )
-        outs = jax.vmap(_candidate_passes, in_axes=(None, 0))(m_pad, pos)
-        return Candidates(n, pos, *outs)
+    if pallas is None:
+        pallas = use_pallas_gather()
 
-    return jax.vmap(one)(iq_buffers)
+    m = jax.vmap(magnitude_from_iq)(iq_buffers)
+    mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m)
+    n = mask.sum(axis=1).astype(jnp.int32)
+    pos = jax.vmap(lambda r: compact_positions(r, max_candidates, scan_len))(mask)
+    w = gather_candidate_windows(m, pos, pallas=pallas)
+    outs = jax.vmap(jax.vmap(candidate_passes_window))(w, pos)
+    return Candidates(n, pos, *outs)
 
 
 def _shard_demod_body(m_local: jax.Array, axis: str, scan_per_shard: int,
