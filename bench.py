@@ -83,9 +83,19 @@ def main() -> None:
     print(f"device demod: {best*1e3:.2f} ms/pass -> {sps/1e6:.0f} Msamples/s "
           f"({sps/2e6:.0f}x realtime @2 Msps)", file=sys.stderr)
 
-    # host resolve cost (O(candidates)) for context
+    # host resolve cost (O(candidates)) for context — native C++ runtime,
+    # falling back to the pure-Python resolver if g++ is unavailable
     from dump1090_tpu.models.decoder import DecoderConfig, DecoderStats, IcaoCache
     from dump1090_tpu.models.resolver import BlockCandidates, resolve_block
+
+    try:
+        from dump1090_tpu.native import NativeResolver
+
+        native = NativeResolver()
+        resolver_name = "native C++"
+    except Exception:
+        native = None
+        resolver_name = "pure Python"
 
     cand = jax.device_get(demod_batch(
         x, scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES, max_candidates=512))
@@ -94,12 +104,18 @@ def main() -> None:
     msgs = []
     for b in range(n_buf):
         one = type(cand)(*[f[b] for f in cand])
-        resolve_block(BlockCandidates.from_device(one), cache, cfg, stats, msgs.append)
+        host = BlockCandidates.from_device(one)
+        if native is not None:
+            native.resolve_block(host, cache, cfg, stats, msgs.append)
+        else:
+            resolve_block(host, cache, cfg, stats, msgs.append)
     t_resolve = time.perf_counter() - t0
     n_good = sum(1 for m in msgs if m.crcok)
-    print(f"host resolve: {t_resolve:.2f}s / {n_buf} buffers, {n_good} messages; "
-          f"effective end-to-end {new_samples/(best+t_resolve)/1e6:.0f} Msamples/s "
-          f"(resolve overlaps device work in streaming mode)", file=sys.stderr)
+    e2e = new_samples / (best + t_resolve)
+    print(f"host resolve ({resolver_name}): {t_resolve*1e3:.0f} ms / {n_buf} "
+          f"buffers, {n_good} messages; effective end-to-end {e2e/1e6:.0f} "
+          f"Msamples/s (resolve overlaps device work in streaming mode)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "demod_throughput",

@@ -44,12 +44,24 @@ class DemodPipeline:
         clock=None,
         debug_flags=None,
         debug_out=None,
+        native: bool | None = None,
     ):
         self.cfg = cfg or PipelineConfig()
         self.stats = DecoderStats()
         self.cache = IcaoCache(clock=clock)
         self.debug_flags = debug_flags  # utils.debug.DebugFlags | None
         self.debug_out = debug_out
+        # host resolver: the native C++ runtime when available (same
+        # semantics, ~100x faster); --debug dumps need the Python replay
+        self._native = None
+        if native is not False and debug_flags is None:
+            try:
+                from ..native import NativeResolver
+
+                self._native = NativeResolver()
+            except Exception:
+                if native is True:
+                    raise
         # --debug p prints the scratch msg buffer's stale content; in the
         # reference that is the previous detectModeS call's last sliced
         # message (the same stack frame is reused), so it carries across
@@ -106,6 +118,11 @@ class DemodPipeline:
     def _resolve(self, work, emit) -> None:
         cand, mag, rej = work
         host = BlockCandidates.from_device(cand)
+        if self._native is not None and not self._debugging:
+            self._native.resolve_block(
+                host, self.cache, self.cfg.decoder, self.stats, emit
+            )
+            return
         debug = None
         if self._debugging:
             from .resolver import DebugContext
