@@ -56,28 +56,50 @@ def main() -> None:
           f"({new_samples/1e6:.1f} M samples/pass)", file=sys.stderr)
 
     x = jax.device_put(jnp.asarray(bufs))
+    MC = 256
+
+    def perturb(x, i):
+        # vary the input each iteration so XLA cannot hoist the pass out of
+        # the loop.  NOTE: a uint8 `x + i` costs ~1.2 ms by itself (sub-byte
+        # VPU ops unpack per element); an int32 add over a bitcast view of
+        # the same bytes is ~10x cheaper and perturbs just as well.
+        w = lax.bitcast_convert_type(x.reshape(x.shape[0], -1, 4), jnp.int32)
+        return lax.bitcast_convert_type(w + i, jnp.uint8).reshape(x.shape)
 
     @functools.partial(jax.jit, static_argnames=("L",))
     def looped(x, L):
         def body(i, acc):
             cand = demod_batch(
-                x + i.astype(jnp.uint8),  # perturb input; defeats caching
+                perturb(x, i),
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                max_candidates=512,
+                max_candidates=MC,
             )
-            return acc + cand.n.sum() + cand.pos.sum() + cand.msg1.astype(jnp.int32).sum()
-        return lax.fori_loop(0, L, body, jnp.int32(0))
+            # consume EVERY output field: anything not reduced here would be
+            # dead-code-eliminated (the phase-corrected pass in particular)
+            return (
+                acc
+                + cand.n.sum().astype(jnp.float32)
+                + cand.pos.sum().astype(jnp.float32)
+                + cand.msg1.astype(jnp.int32).sum().astype(jnp.float32)
+                + cand.errors1.sum().astype(jnp.float32)
+                + cand.gate1.sum().astype(jnp.float32)
+                + cand.msg2.astype(jnp.int32).sum().astype(jnp.float32)
+                + cand.errors2.sum().astype(jnp.float32)
+                + cand.gate2.sum().astype(jnp.float32)
+            )
+        return lax.fori_loop(0, L, body, jnp.float32(0))
 
     t0 = time.perf_counter()
-    _ = int(jax.device_get(looped(x, 1)))
+    _ = float(jax.device_get(looped(x, 1)))
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    L = 8
-    _ = int(jax.device_get(looped(x, L)))  # compile the L version
+    # L amortizes the tunneled runtime's fixed dispatch+fetch cost (~35 ms)
+    L = 64
+    _ = float(jax.device_get(looped(x, L)))  # compile the L version
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = int(jax.device_get(looped(x, L)))
+        _ = float(jax.device_get(looped(x, L)))
         best = min(best, (time.perf_counter() - t0) / L)
     sps = new_samples / best
     print(f"device demod: {best*1e3:.2f} ms/pass -> {sps/1e6:.0f} Msamples/s "
@@ -98,7 +120,7 @@ def main() -> None:
         resolver_name = "pure Python"
 
     cand = jax.device_get(demod_batch(
-        x, scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES, max_candidates=512))
+        x, scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES, max_candidates=MC))
     t0 = time.perf_counter()
     cache, cfg, stats = IcaoCache(), DecoderConfig(), DecoderStats()
     msgs = []

@@ -31,7 +31,14 @@ from .resolver import BlockCandidates, resolve_block
 @dataclass
 class PipelineConfig:
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
-    max_candidates: int = 1024
+    # Preamble candidates per buffer the device kernels are shaped for.  415
+    # over the whole (dead-air-stripped) modes1.bin capture is the densest
+    # real traffic we have measured — ~152 per 131072-sample buffer; 256
+    # gives 1.7x headroom, and a buffer that still overflows is retried at
+    # 4x (the kernel reports the exact preamble count, so overflow is
+    # detected, never silent).  Lower is faster: gather + demod-pass cost is
+    # proportional to this.
+    max_candidates: int = 256
     loop: bool = False
 
 
@@ -73,21 +80,29 @@ class DemodPipeline:
     def _debugging(self) -> bool:
         return self.debug_flags is not None and self.debug_flags.any_demod_dump
 
-    def _demod(self, buf: np.ndarray):
+    def _demod(self, buf: np.ndarray, max_candidates: int | None = None):
         import jax.numpy as jnp
 
+        mc = max_candidates or self.cfg.max_candidates
+        if not self._debugging:
+            from ..ops.demod import demod_iq_block
+
+            cand = demod_iq_block(
+                jnp.asarray(buf),
+                scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
+                max_candidates=mc,
+            )
+            return buf, cand, None, None
         mag = magnitude_from_iq(jnp.asarray(buf))
         cand = demod_block(
             mag,
             scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-            max_candidates=self.cfg.max_candidates,
+            max_candidates=mc,
         )
-        if not self._debugging:
-            return cand, None, None
         from ..ops.demod import preamble_reject_stages
 
         rej = preamble_reject_stages(mag, scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES)
-        return cand, mag, rej
+        return buf, cand, mag, rej
 
     def run(self, stream: BinaryIO, emit: Callable[[ModesMessage], None]) -> None:
         """Decode a whole IQ stream, calling `emit` for every message the
@@ -116,8 +131,24 @@ class DemodPipeline:
                 drain.clear()
 
     def _resolve(self, work, emit) -> None:
-        cand, mag, rej = work
-        host = BlockCandidates.from_device(cand)
+        buf, cand, mag, rej = work
+        try:
+            host = BlockCandidates.from_device(cand)
+        except OverflowError:
+            # denser than max_candidates preambles in one buffer: redo this
+            # buffer with 4x headroom (grows until it fits; counts are exact,
+            # so overflow is detected, never silently truncated)
+            host = None
+            mc = cand.pos.shape[0]
+            while host is None:
+                mc *= 4
+                work = self._demod(buf, max_candidates=mc)
+                try:
+                    host = BlockCandidates.from_device(work[1])
+                except OverflowError:
+                    if mc >= 16384:  # > mask density ceiling; cannot happen
+                        raise
+            _, cand, mag, rej = work
         if self._native is not None and not self._debugging:
             self._native.resolve_block(
                 host, self.cache, self.cfg.decoder, self.stats, emit

@@ -72,7 +72,9 @@ def preamble_mask(m: jax.Array, scan_len: int) -> jax.Array:
     """
 
     def s(k: int) -> jax.Array:
-        return lax.dynamic_slice_in_dim(m, k, scan_len)
+        # widen on the fly: m may be stored uint16 (magnitudes <= 65167) to
+        # halve HBM traffic; the arithmetic below needs int32 headroom
+        return lax.dynamic_slice_in_dim(m, k, scan_len).astype(jnp.int32)
 
     c = (
         (s(0) > s(1))
@@ -100,7 +102,7 @@ def preamble_reject_stages(m: jax.Array, *, scan_len: int) -> jax.Array:
     reference's three --debug p dump sites (dump1090.c:1602-1650)."""
 
     def s(k: int) -> jax.Array:
-        return lax.dynamic_slice_in_dim(m, k, scan_len)
+        return lax.dynamic_slice_in_dim(m, k, scan_len).astype(jnp.int32)
 
     stage1 = (
         (s(0) > s(1))
@@ -213,45 +215,46 @@ def _phase_corrected_window(w: jax.Array) -> jax.Array:
         # uint16 scaleSample: v*f/16384 clamped to 65535 (dump1090.c:1473-1476)
         return jnp.minimum(v * f // 16384, 65535)
 
-    ks = jnp.arange(111, dtype=jnp.int32)
+    # Both directions are independent 111-step recurrences; run them in ONE
+    # scan (half the sequential steps of two), and rebuild the corrected
+    # message with an interleave instead of scatters (scatter is slow on TPU).
+    odd = m[1::2]    # positions 1, 3, ..., 223
+    even = m[0::2]   # positions 0, 2, ..., 222 (+ pos 222 is even[111])
 
-    # early > late: seed-scale the last sample, walk backward writing odd
-    # indices 221, 219, ..., 1 (dump1090.c:1513-1533)
-    last = scale(m[MSG_SAMPLES - 1], up)
+    # late >= early: seed-scale position 0, walk forward writing even
+    # positions 2..222 (dump1090.c:1535-1556); step k reads odd[k], writes
+    # even[k+1].  early > late: seed-scale position 223, walk backward
+    # writing odd positions 221..1 (dump1090.c:1513-1533); step k reads
+    # even[111-k], writes odd[110-k].
+    seed_f = scale(even[0], up)
+    seed_b = scale(odd[111], up)
 
-    def bwd_step(carry, k):
-        e = m[222 - 2 * k]           # even samples are never rewritten
-        f = jnp.where(e > carry, down, up)
-        new_odd = scale(m[221 - 2 * k], f)
-        return new_odd, new_odd
+    def step(carry, xs):
+        v_f, v_b = carry
+        o_f, e_next, e_b, o_b = xs
+        v_f2 = scale(e_next, jnp.where(v_f > o_f, up, down))
+        v_b2 = scale(o_b, jnp.where(e_b > v_b, down, up))
+        return (v_f2, v_b2), (v_f2, v_b2)
 
-    _, odd_new = lax.scan(bwd_step, last, ks)
-    m_bwd = m.at[MSG_SAMPLES - 1].set(last)
-    m_bwd = m_bwd.at[221 - 2 * ks].set(odd_new)
+    xs = (odd[:111], even[1:], even[1:][::-1], odd[:111][::-1])
+    # unroll: each scan step is a handful of VPU ops over the (vmapped)
+    # candidate batch, so loop bookkeeping dominates; unrolling amortizes it
+    _, (even_new, odd_new) = lax.scan(step, (seed_f, seed_b), xs, unroll=8)
 
-    # late >= early: seed-scale the first sample, walk forward writing even
-    # indices 2, 4, ..., 222 (dump1090.c:1535-1556)
-    first = scale(m[0], up)
-
-    def fwd_step(carry, k):
-        o = m[2 * k + 1]             # odd samples are never rewritten
-        f = jnp.where(carry > o, up, down)
-        new_even = scale(m[2 * k + 2], f)
-        return new_even, new_even
-
-    _, even_new = lax.scan(fwd_step, first, ks)
-    m_fwd = m.at[0].set(first)
-    m_fwd = m_fwd.at[2 + 2 * ks].set(even_new)
+    evens_fwd = jnp.concatenate([seed_f[None], even_new])          # 0, 2..222
+    m_fwd = jnp.stack([evens_fwd, odd], axis=-1).reshape(-1)
+    odds_bwd = jnp.concatenate([odd_new[::-1], seed_b[None]])      # 1..221, 223
+    m_bwd = jnp.stack([even, odds_bwd], axis=-1).reshape(-1)
 
     return jnp.where(is_early, m_bwd, m_fwd)
 
 
 def candidate_passes_window(w: jax.Array, pos: jax.Array):
     """Both demod passes for one candidate given its gathered window
-    (int32[>=241], w[0] = m[pos-1]).  `pos` is the *stream-global* scan
-    position: phase correction is skipped at pos == 0, where m[-1] does not
-    exist (dump1090.c:1658-1663)."""
-    w = w[:WINDOW]
+    (uint16/int32[>=241], w[0] = m[pos-1]).  `pos` is the *stream-global*
+    scan position: phase correction is skipped at pos == 0, where m[-1] does
+    not exist (dump1090.c:1658-1663)."""
+    w = w[:WINDOW].astype(jnp.int32)
     msg_region = w[PREAMBLE_SAMPLES + 1 :]
     msg1, errors1, df1 = _slice_window(msg_region)
     gate1 = _noise_gate(msg_region, df1)
@@ -273,11 +276,11 @@ def _candidate_passes(m_pad: jax.Array, pos: jax.Array):
 
 
 def gather_candidate_windows(m: jax.Array, pos: jax.Array, *, pallas: bool) -> jax.Array:
-    """Fetch (B, MC, 256) int32 candidate windows from int32 magnitudes
-    (B, S); window index 0 holds m[pos-1] (zero at the stream head).
+    """Fetch (B, MC, 256) uint16 candidate windows from magnitudes (B, S),
+    uint16 or int32; window index 0 holds m[pos-1] (zero at the stream head).
 
-    On TPU the Pallas DMA kernel (ops/gather.py) replaces XLA's serial
-    per-window gather — ~7x faster at 16K windows."""
+    On TPU the Pallas VMEM-resident kernel (ops/gather.py) replaces XLA's
+    serial per-window gather — ~12x faster at 64K windows."""
     from .gather import WINDOW_PAD, gather_windows, gather_windows_xla
 
     B, S = m.shape
@@ -292,31 +295,72 @@ def gather_candidate_windows(m: jax.Array, pos: jax.Array, *, pallas: bool) -> j
 def compact_positions(mask: jax.Array, max_candidates: int, scan_len: int) -> jax.Array:
     """Indices of set mask positions, ascending, padded with `scan_len`.
 
-    Two-stage hierarchical compaction: bit-pack each run of 8 mask positions
-    into a byte, top_k the (16x smaller) group array by position with the
-    byte folded into the score, expand selected groups to positions, and
-    top_k the small remainder.  ~4x faster than a flat top_k over all scan
-    positions (itself ~10x faster than the cumsum+scatter lowering of
-    jnp.nonzero) and keeps the FIRST max_candidates hits like the reference
-    scan order.  A group holds >=1 candidate, so max_candidates groups always
-    cover the first max_candidates hits."""
+    Hierarchical compaction — the FIRST max_candidates hits in scan order,
+    like the reference's left-to-right walk.  Levels (engaged when the static
+    sizes allow): bit-pack runs of 8 positions into group bytes; mark
+    supergroups of 8 groups; top_k the (128x smaller) supergroup array by
+    index; fetch each selected supergroup's 8 group bytes with a one-hot
+    bf16 matmul (an MXU gather — measured free vs 1 ms for a top_k over all
+    16K groups); top_k the surviving groups; expand bytes to positions and
+    top_k the remainder.  Every selected container holds >= 1 hit, so the
+    first-K property is preserved at each level.  ~12x faster than a flat
+    top_k over all scan positions (itself ~10x faster than the
+    cumsum+scatter lowering of jnp.nonzero)."""
     n_pos = mask.shape[0]
     n_grp = -(-n_pos // 8)
+    n_sup = -(-n_grp // 8)
     padded = jnp.zeros(n_grp * 8, dtype=jnp.int32)
     padded = lax.dynamic_update_slice(padded, mask.astype(jnp.int32), (0,))
     bits = padded.reshape(n_grp, 8)
     byte = jnp.bitwise_or.reduce(bits << (7 - jnp.arange(8, dtype=jnp.int32)), axis=1)
 
-    # stage 1: first max_candidates non-empty groups, ascending; the byte is
-    # folded into disjoint score ranges so it travels with the group index
-    gi = lax.iota(jnp.int32, n_grp)
-    score = jnp.where(byte > 0, -(gi * 256 + 255 - byte), jnp.int32(-(2**30)))
-    vals, _ = lax.top_k(score, max_candidates)
+    if max_candidates <= n_sup:
+        # level 0: first MC non-empty supergroups (64 positions each)
+        bpad = jnp.zeros(n_sup * 8, jnp.int32)
+        bpad = lax.dynamic_update_slice(bpad, byte, (0,))
+        b8 = bpad.reshape(n_sup, 8)
+        si = lax.iota(jnp.int32, n_sup)
+        sscore = jnp.where((b8 > 0).any(axis=1), -si, jnp.int32(-(2**30)))
+        svals, _ = lax.top_k(sscore, max_candidates)
+        ssel = -svals                            # ascending, padded with 2^30
+        valid_s = ssel < n_sup
+        ssel_c = jnp.where(valid_s, ssel, 0)
+        # one-hot matmul gather of the selected supergroups' group bytes;
+        # bf16 is exact for one-hot x bytes <= 255
+        oh = (ssel_c[:, None] == si[None, :]) & valid_s[:, None]
+        gbytes = jnp.dot(
+            oh.astype(jnp.bfloat16), b8.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                      # (MC, 8)
+        t8 = jnp.arange(8, dtype=jnp.int32)
+        gidx = ssel_c[:, None] * 8 + t8[None, :]
+        gscore = jnp.where(
+            (gbytes > 0) & valid_s[:, None],
+            -(gidx * 256 + 255 - gbytes), jnp.int32(-(2**30)),
+        ).reshape(-1)
+        vals, _ = lax.top_k(gscore, max_candidates)
+    elif max_candidates <= n_grp:
+        # first MC non-empty groups; the byte folds into disjoint score
+        # ranges so it travels with the group index
+        gi = lax.iota(jnp.int32, n_grp)
+        score = jnp.where(byte > 0, -(gi * 256 + 255 - byte), jnp.int32(-(2**30)))
+        vals, _ = lax.top_k(score, max_candidates)
+    else:
+        # degenerate (tiny shards): flat top_k over positions
+        pi = lax.iota(jnp.int32, n_grp * 8)
+        k = min(max_candidates, n_grp * 8)
+        fscore = jnp.where(padded > 0, -pi, jnp.int32(-(2**30)))
+        fvals, _ = lax.top_k(fscore, k)
+        fpos = jnp.minimum(-fvals, jnp.int32(scan_len))
+        return jnp.concatenate(
+            [fpos, jnp.full(max_candidates - k, scan_len, jnp.int32)]
+        )
+
     v = -vals
     grp = v // 256
     gbyte = jnp.where(v < 2**30 - 1, 255 - (v % 256), 0)
 
-    # stage 2: expand each group's bits to positions, compact the remainder
+    # final level: expand each group's bits to positions, compact the rest
     t = jnp.arange(8, dtype=jnp.int32)
     hit = ((gbyte[:, None] >> (7 - t[None, :])) & 1) > 0
     pos = grp[:, None] * 8 + t[None, :]
@@ -344,6 +388,32 @@ def demod_block(
     """
     if pallas is None:
         pallas = use_pallas_gather()
+    mask = preamble_mask(m, scan_len)
+    n = mask.sum().astype(jnp.int32)
+    pos = compact_positions(mask, max_candidates, scan_len)
+    w = gather_candidate_windows(m[None], pos[None], pallas=pallas)[0]
+    msg1, errors1, gate1, msg2, errors2, gate2 = jax.vmap(candidate_passes_window)(
+        w, pos
+    )
+    return Candidates(n, pos, msg1, errors1, gate1, msg2, errors2, gate2)
+
+
+@functools.partial(jax.jit, static_argnames=("scan_len", "max_candidates", "pallas"))
+def demod_iq_block(
+    iq_bytes: jax.Array, *, scan_len: int, max_candidates: int = 512,
+    pallas: bool | None = None,
+) -> Candidates:
+    """Fused single-buffer forward path: uint8 IQ bytes -> Candidates in one
+    XLA program (magnitude + preamble scan + compaction + both demod passes).
+    One dispatch per buffer matters on runtimes with high per-dispatch cost."""
+    from .magnitude import magnitude_from_iq
+
+    if pallas is None:
+        pallas = use_pallas_gather()
+    m = magnitude_from_iq(iq_bytes, out_dtype=jnp.uint16)
+    # materialize m once; fused into the 15 shifted views of the preamble
+    # predicate XLA would recompute the magnitude per view (measured 15x)
+    m = lax.optimization_barrier(m)
     mask = preamble_mask(m, scan_len)
     n = mask.sum().astype(jnp.int32)
     pos = compact_positions(mask, max_candidates, scan_len)

@@ -2,13 +2,21 @@
 
 XLA's gather lowering on TPU issues one serial row-copy per window
 (~1.3 us each — measured; width- and alignment-independent), which makes the
-16K-window gather the demodulator's bottleneck.  This kernel streams windows
-with explicit DMAs instead, CHUNK copies in flight per grid step.
+16K-window gather the demodulator's bottleneck.  An earlier revision of this
+kernel streamed one explicit HBM->VMEM DMA per candidate (16 in flight); at
+65K windows/pass the DMA issue rate, not bytes, bound it at ~2.8 ms.
 
-Mosaic constrains HBM slices to the (8, 128) tile grid, so the magnitude
-vector is viewed as (rows, 128) and each candidate fetches an aligned
-(16, 128) tile that covers its 241-sample window; the window is then cut out
-in-register with dynamic rolls (sublane roll + lane funnel-shift).
+This version exploits that a whole magnitude row is small (131310 samples =
+262 KB uint16): the Pallas pipeline stages each row into VMEM ONCE (the
+BlockSpec index map depends only on the batch coordinate, so consecutive
+grid steps over the same row reuse the resident block), and every window is
+then cut out with register loads + in-register rolls — no per-candidate DMA
+at all.  HBM traffic drops to one contiguous read of m and one write of the
+windows.  Measured: 1.6 ms for 128x512 windows (1.75x over the DMA kernel).
+
+Mosaic constrains VMEM sublane slices to 8-row alignment, so each candidate
+loads an aligned (16, 128) tile covering its 241-sample window; the window is
+cut out with a dynamic sublane roll + lane funnel-shift.
 
 A jnp fallback (flat vmapped dynamic_slice) keeps CPU tests exact; interpret
 mode validates the kernel itself off-TPU.
@@ -25,40 +33,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WINDOW_PAD = 256   # emitted window width (241 used)
-CHUNK = 16         # candidates per grid step (concurrent DMAs)
-TILE_ROWS = 16     # aligned rows fetched per candidate (16*128 = 2048 samples)
+CHUNK = 16         # candidates extracted per grid step
+TILE_ROWS = 16     # aligned rows loaded per candidate (16*128 = 2048 samples)
 LANES = 128
 
 
-def _gather_kernel(pos_ref, m_ref, out_ref, tiles, sems):
+def _gather_kernel(pos_ref, m_ref, out_ref):
     b = pl.program_id(0)
     c = pl.program_id(1)
     n_mc = pl.num_programs(1)
     base = b * (n_mc * CHUNK) + c * CHUNK
 
-    def dma(k):
+    for k in range(CHUNK):
         p = pos_ref[base + k]
         r8 = (p // LANES) & ~7  # 8-aligned row base, window fits in 16 rows
         r8 = pl.multiple_of(r8, 8)
-        return pltpu.make_async_copy(
-            m_ref.at[b, pl.ds(r8, TILE_ROWS), :],
-            tiles.at[k],
-            sems.at[k],
-        )
-
-    for k in range(CHUNK):
-        dma(k).start()
-    for k in range(CHUNK):
-        dma(k).wait()
-
-    for k in range(CHUNK):
-        p = pos_ref[base + k]
-        r8 = (p // LANES) & ~7
+        t = m_ref[0, pl.ds(r8, TILE_ROWS), :]  # VMEM register load
         off = p - r8 * LANES          # window start within the tile, < 1024+128
         a = off // LANES              # starting row inside the tile (< 9)
         r = off % LANES               # starting lane
         # tpu.dynamic_rotate only handles 32-bit lanes — widen before rolling
-        t = tiles[k].astype(jnp.int32)       # (16, 128)
+        t = t.astype(jnp.int32)              # (16, 128)
         t = pltpu.roll(t, TILE_ROWS - a, 0)  # rows a.. to the top (dyn sublane roll)
         # funnel shift: pair each of the first two rows with its successor,
         # rotate lanes by r, keep the left half — row i then holds the 128
@@ -67,7 +62,7 @@ def _gather_kernel(pos_ref, m_ref, out_ref, tiles, sems):
             [t[:2], pltpu.roll(t, TILE_ROWS - 1, 0)[:2]], axis=1
         )                                               # (2, 256)
         shifted = pltpu.roll(paired, 2 * LANES - r, 1)[:, :LANES]  # (2, 128)
-        out_ref[0, k, :] = shifted.reshape(WINDOW_PAD).astype(jnp.int32)
+        out_ref[0, k] = shifted.astype(jnp.uint16)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,28 +76,33 @@ def gather_windows(m_pad: jax.Array, pos: jax.Array, *, interpret: bool = False)
     assert S_pad % (8 * LANES) == 0, S_pad
     _, MC = pos.shape
     assert MC % CHUNK == 0, MC
-    m2d = m_pad.reshape(B, S_pad // LANES, LANES)
+    n_rows = S_pad // LANES
+    m2d = m_pad.reshape(B, n_rows, LANES)
     grid = (B, MC // CHUNK)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[
+                # whole row resident in VMEM; index map ignores c, so the
+                # block is fetched once per row and reused across grid steps
+                pl.BlockSpec(
+                    (1, n_rows, LANES),
+                    lambda b, c, pos_ref: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
             out_specs=pl.BlockSpec(
-                (1, CHUNK, WINDOW_PAD),
-                lambda b, c, pos_ref: (b, c, 0),
+                (1, CHUNK, 2, LANES),
+                lambda b, c, pos_ref: (b, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((CHUNK, TILE_ROWS, LANES), jnp.uint16),
-                pltpu.SemaphoreType.DMA((CHUNK,)),
-            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, MC, WINDOW_PAD), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, MC, 2, LANES), jnp.uint16),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(pos.reshape(-1), m2d)
+    return out.reshape(B, MC, WINDOW_PAD)
 
 
 def gather_windows_xla(m_pad: jax.Array, pos: jax.Array, width: int = WINDOW_PAD) -> jax.Array:
@@ -113,4 +113,4 @@ def gather_windows_xla(m_pad: jax.Array, pos: jax.Array, width: int = WINDOW_PAD
     w = jax.vmap(lambda p: lax.dynamic_slice_in_dim(flat, p, width))(
         gpos.reshape(-1)
     )
-    return w.reshape(B, pos.shape[1], width).astype(jnp.int32)
+    return w.reshape(B, pos.shape[1], width)

@@ -10,12 +10,13 @@ fast, so we compute an *exact* rounded integer sqrt directly:
 
     round(sqrt(v) * 360) == round(sqrt(129600 * v))    (360^2 == 129600)
 
-A float32 sqrt gives a candidate within +-1 of floor(sqrt(W)); two integer
-Newton-style correction steps pin it exactly, and the final half-up rounding
-test is integer (W - c^2 > c).  This is bit-identical to the C double
+A float32 sqrt gives a candidate within +-1 of R = round(sqrt(W)); a single
+integer test d = W - c^2 against +-c then pins R exactly (R is the unique
+integer with R^2 - R < W <= R^2 + R).  This is bit-identical to the C double
 expression for all 16641 possible (i, q) pairs (proof sketch: 4W is never an
 odd perfect square, so sqrt(W) is at least 0.25/(2*sqrt(W)) ~ 2e-6 away from
-any .5 boundary, far beyond double rounding error).  No gather, pure VPU.
+any .5 boundary, far beyond double rounding error; exhaustively verified in
+tests/test_magnitude.py).  No gather, one integer multiply, pure VPU.
 """
 
 from __future__ import annotations
@@ -27,27 +28,41 @@ import numpy as np
 from ..constants import MAG_SCALE_SQ
 
 
-def magnitude_from_iq(iq: jax.Array) -> jax.Array:
-    """uint8 interleaved IQ [2N] (or [..., 2N]) -> int32 magnitudes [N].
+def magnitude_from_iq(iq: jax.Array, out_dtype=jnp.int32) -> jax.Array:
+    """uint8 interleaved IQ [2N] (or [..., 2N]) -> magnitudes [N].
 
     Exact equivalent of the reference maglut path (dump1090.c:1461-1468).
+    Values are <= 65167, so out_dtype=jnp.uint16 is lossless and halves the
+    HBM write traffic on the hot path.
     """
-    x = iq.astype(jnp.int32) - 127
-    i = jnp.abs(x[..., 0::2])
-    q = jnp.abs(x[..., 1::2])
-    v = (i * i + q * q).astype(jnp.uint32)
-    w = v * jnp.uint32(MAG_SCALE_SQ)  # <= 129600*32768 = 4.25e9, fits uint32
-    c = jnp.sqrt(w.astype(jnp.float32)).astype(jnp.uint32)
-    # pin c = floor(sqrt(w)) exactly (f32 estimate is within +-1)
-    c = jnp.where(c * c > w, c - jnp.uint32(1), c)
-    c = jnp.where(c * c > w, c - jnp.uint32(1), c)
-    c1 = c + jnp.uint32(1)
-    c = jnp.where(c1 * c1 <= w, c1, c)
-    c1 = c + jnp.uint32(1)
-    c = jnp.where(c1 * c1 <= w, c1, c)
-    # round half up: sqrt(w) >= c + 0.5  <=>  w >= c^2 + c + 1
-    m = jnp.where(w - c * c > c, c + jnp.uint32(1), c)
-    return m.astype(jnp.int32)
+    # Deinterleave via a uint16 bitcast instead of stride-2 uint8 slices:
+    # strided sub-byte loads cost lane shuffles on the VPU (~4x measured on
+    # this whole function); one contiguous uint16 load + shift/mask does not.
+    # Little-endian: pair k = I | (Q << 8).
+    pairs = jax.lax.bitcast_convert_type(
+        iq.reshape(*iq.shape[:-1], -1, 2), jnp.uint16
+    ).astype(jnp.int32)
+    i = jnp.abs((pairs & 0xFF) - 127)
+    q = jnp.abs((pairs >> 8) - 127)
+    v = i * i + q * q                 # <= 32768
+    # All arithmetic stays int32/f32: unsigned multiplies and uint32->f32
+    # conversions lower ~12x slower on the VPU (measured).  W = 129600*v can
+    # exceed int32 range, but both W and c*c below wrap identically mod 2^32,
+    # so their difference is exact.
+    #
+    # f32 sqrt gives a candidate c within +-1 of R = round(sqrt(W)) (v is
+    # f32-exact, the product and sqrt carry ~2^-24 relative error each, so
+    # |c_f - sqrt(W)| < 0.01).  R is the unique integer with
+    # R^2 - R < W <= R^2 + R, so with d = W - c^2:
+    #   d >  c  =>  W > c^2 + c  =>  R = c + 1
+    #   d <= -c =>  W <= c^2 - c =>  R = c - 1  (guard c > 0: W = 0 stays 0)
+    #   else        R = c
+    c = (jnp.sqrt(v.astype(jnp.float32) * float(MAG_SCALE_SQ)) + 0.5).astype(
+        jnp.int32
+    )
+    d = v * MAG_SCALE_SQ - c * c      # wraps mod 2^32 on both sides; |d| small
+    m = c + (d > c).astype(jnp.int32) - ((c > 0) & (d <= -c)).astype(jnp.int32)
+    return m.astype(out_dtype)
 
 
 def reference_maglut() -> np.ndarray:

@@ -116,3 +116,32 @@ def test_demod_block_candidate_compaction():
     assert list(np.asarray(cand.pos[:3])) == [100, 600, 1100]
     # remaining slots are fill
     assert (np.asarray(cand.pos[3:]) == 2000 - FULL_LEN_SAMPLES).all()
+
+
+def test_pipeline_overflow_retry():
+    """A buffer denser than max_candidates preambles is redone with more
+    headroom instead of silently truncating (pipeline._resolve)."""
+    import io
+
+    import numpy as np
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+    from dump1090_tpu.utils.synth import frame_to_iq, make_df17_frame
+
+    frames = [make_df17_frame(addr=0x100000 + k, metype=4) for k in range(40)]
+    spacing = 1000 * 2  # 1000 samples apart: 40 candidates within one buffer
+    stream = np.full(40 * spacing + 4000, 127, dtype=np.uint8)
+    for k, f in enumerate(frames):
+        iq = frame_to_iq(f, amplitude=90.0, pad_before=0, pad_after=0)
+        stream[k * spacing : k * spacing + len(iq)] = iq
+
+    def run(mc):
+        p = DemodPipeline(PipelineConfig(max_candidates=mc), clock=lambda: 1000)
+        out = []
+        p.run(io.BytesIO(stream.tobytes()), out.append)
+        return sorted(m.addr for m in out if m.crcok)
+
+    big = run(256)      # plenty of headroom: no retry path
+    tiny = run(16)      # forces the overflow retry (40 > 16)
+    assert tiny == big
+    assert len(big) >= 40
