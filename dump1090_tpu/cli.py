@@ -276,6 +276,7 @@ def main(argv: list[str] | None = None) -> int:
                 ri_port=o.ri_port,
                 http_port=o.http_port,
                 sbs_port=o.sbs_port,
+                debug_net="n" in o.debug,
             ),
             on_raw_line=on_raw_line,
             data_json=lambda: disp.aircraft_json(tracker, o.metric),

@@ -39,6 +39,7 @@ class NetConfig:
     sbs_port: int = NET_OUTPUT_SBS_PORT   # BaseStation output (30003)
     bind_host: str = "0.0.0.0"
     gmap_path: str = "gmap.html"          # read from CWD at request time, like the reference
+    debug_net: bool = False               # --debug n logging (dump1090.c:2309-2593)
 
 
 class NetworkServices:
@@ -64,6 +65,12 @@ class NetworkServices:
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
         self._servers: list[asyncio.base_events.Server] = []
+
+    def _log(self, msg: str) -> None:
+        if self.cfg.debug_net:
+            import sys
+
+            sys.stderr.write(msg + "\n")
 
     # ---- lifecycle --------------------------------------------------------
 
@@ -123,6 +130,7 @@ class NetworkServices:
 
     async def _serve_raw_out(self, reader, writer) -> None:
         self._raw_clients.add(writer)
+        self._log(f"Created new client (raw output, port {self.cfg.ro_port})")
         try:
             while await reader.read(4096):
                 pass  # reference never reads raw-out clients; drain politely
@@ -152,6 +160,7 @@ class NetworkServices:
 
     async def _serve_sbs(self, reader, writer) -> None:
         self._sbs_clients.add(writer)
+        self._log(f"Created new client (SBS output, port {self.cfg.sbs_port})")
         self.on_sbs_connect()
         try:
             while await reader.read(4096):
@@ -177,6 +186,7 @@ class NetworkServices:
                 url = self._url(text)
                 if url is None:
                     break
+                self._log(f"HTTP request: {url}")
                 if "/data.json" in url:
                     content = self.data_json().encode()
                     ctype = CONTENT_TYPE_JSON
