@@ -42,7 +42,9 @@ HELP = """\
 --debug <flags>          Debug mode (verbose), see README for details.
 --help                   Show this help.
 
---tpu-max-candidates <n> Max preamble candidates per block (default: 1024).
+--tpu-max-candidates <n> Max preamble candidates per block (default: 256).
+--tpu-batch <n>          IQ buffers demodulated per device dispatch
+                         (default: 16 for files, 1 for stdin/pipes).
 --tpu-backend <name>     JAX platform to use (e.g. cpu, tpu; default: auto).
 
 Debug mode flags: d = Log frames decoded with errors
@@ -82,7 +84,8 @@ class Options:
         self.ri_port = 30001
         self.http_port = 8080
         self.sbs_port = 30003
-        self.max_candidates = 1024
+        self.max_candidates = 256
+        self.batch: int | None = None   # buffers per device dispatch
         self.backend: str | None = None
 
 
@@ -156,6 +159,8 @@ def parse_args(argv: list[str]) -> Options:
             o.snip = int(nxt())
         elif arg == "--tpu-max-candidates" and more:
             o.max_candidates = int(nxt())
+        elif arg == "--tpu-batch" and more:
+            o.batch = int(nxt())
         elif arg == "--tpu-backend" and more:
             o.backend = nxt()
         elif arg == "--help":
@@ -217,6 +222,18 @@ def main(argv: list[str] | None = None) -> int:
 
         os.environ.setdefault("JAX_PLATFORMS", o.backend)
 
+    # persistent XLA compilation cache: the demod program compiles once per
+    # (block size, max_candidates) ever, not once per process
+    import os
+
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+
+        cache = os.path.expanduser("~/.cache/dump1090_tpu/jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from .models.decoder import (
         DecoderConfig,
         DecoderStats,
@@ -248,8 +265,14 @@ def main(argv: list[str] | None = None) -> int:
         from .models.pipeline import DemodPipeline, PipelineConfig
         from .utils.debug import DebugFlags
 
+        # batched device dispatch for seekable files; single-buffer (65 ms
+        # latency) for live stdin feeds
+        batch = o.batch if o.batch is not None else (1 if o.filename == "-" else 16)
         pipeline = DemodPipeline(
-            PipelineConfig(decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop),
+            PipelineConfig(
+                decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop,
+                batch_buffers=batch,
+            ),
             debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
         )
         stats, cache = pipeline.stats, pipeline.cache

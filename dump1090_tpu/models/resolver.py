@@ -76,6 +76,10 @@ class BlockCandidates:
 
     @classmethod
     def from_device(cls, cand) -> "BlockCandidates":
+        if hasattr(cand.n, "devices"):  # jax arrays: fetch ALL fields in one
+            import jax                  # transfer (per-field fetches each pay
+                                        # the runtime round-trip latency)
+            cand = type(cand)(*jax.device_get(list(cand)))
         n = int(cand.n)
         c = min(n, cand.pos.shape[0])
         if n > cand.pos.shape[0]:

@@ -145,3 +145,34 @@ def test_pipeline_overflow_retry():
     tiny = run(16)      # forces the overflow retry (40 > 16)
     assert tiny == big
     assert len(big) >= 40
+
+
+def test_batched_stream_matches_unbatched():
+    """batch_buffers>1 (the file fast path) must emit the identical message
+    stream, stats, and order as single-buffer streaming, including the
+    silence padding of a short final batch and per-row overflow retry."""
+    import dataclasses
+    import io
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    raw = open("/root/reference/testfiles/modes1.bin", "rb").read()
+
+    def run(batch, mc=256):
+        p = DemodPipeline(
+            PipelineConfig(batch_buffers=batch, max_candidates=mc),
+            clock=lambda: 1000,
+        )
+        out = []
+        p.run(io.BytesIO(raw), out.append)
+        return out, p.stats
+
+    a, sa = run(1)
+    b, sb = run(4)          # 3 real buffers -> one padded batch
+    c, sc = run(2)          # split batches
+    d, sd = run(4, mc=16)   # forces the per-row overflow retry
+    assert sa == sb == sc == sd
+    for other in (b, c, d):
+        assert len(a) == len(other)
+        for x, y in zip(a, other):
+            assert dataclasses.asdict(x) == dataclasses.asdict(y)
