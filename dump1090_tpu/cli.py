@@ -45,6 +45,10 @@ HELP = """\
 --tpu-max-candidates <n> Max preamble candidates per block (default: 256).
 --tpu-batch <n>          IQ buffers demodulated per device dispatch
                          (default: 16 for files, 1 for stdin/pipes).
+--tpu-profile <dir>      Write a jax.profiler trace of the decode to <dir>
+                         (view with TensorBoard / xprof).
+--tpu-state-load <file>  Restore tracker/ICAO-cache/stats snapshot at start.
+--tpu-state-save <file>  Save a state snapshot on exit (checkpoint/resume).
 --tpu-backend <name>     JAX platform to use (e.g. cpu, tpu; default: auto).
 
 Debug mode flags: d = Log frames decoded with errors
@@ -87,6 +91,9 @@ class Options:
         self.max_candidates = 256
         self.batch: int | None = None   # buffers per device dispatch
         self.backend: str | None = None
+        self.profile_dir: str | None = None
+        self.state_load: str | None = None
+        self.state_save: str | None = None
 
 
 def parse_args(argv: list[str]) -> Options:
@@ -161,6 +168,12 @@ def parse_args(argv: list[str]) -> Options:
             o.max_candidates = int(nxt())
         elif arg == "--tpu-batch" and more:
             o.batch = int(nxt())
+        elif arg == "--tpu-profile" and more:
+            o.profile_dir = nxt()
+        elif arg == "--tpu-state-load" and more:
+            o.state_load = nxt()
+        elif arg == "--tpu-state-save" and more:
+            o.state_save = nxt()
         elif arg == "--tpu-backend" and more:
             o.backend = nxt()
         elif arg == "--help":
@@ -281,6 +294,11 @@ def main(argv: list[str] | None = None) -> int:
 
     hub = MessageHub(hub_cfg, tracker, stats)
 
+    if o.state_load:
+        from .utils import state as state_mod
+
+        state_mod.load(o.state_load, tracker, cache, stats)
+
     net = None
     if o.net:
         from .io.net import NetConfig, NetworkServices
@@ -331,6 +349,13 @@ def main(argv: list[str] | None = None) -> int:
 
         stream = open_iq_source(o.filename)
         last_refresh = [0.0]
+        t_start = time.time()
+        profiler_cm = None
+        if o.profile_dir:
+            import jax
+
+            profiler_cm = jax.profiler.trace(o.profile_dir)
+            profiler_cm.__enter__()
 
         def on_message(mm) -> None:
             # inline emission: keeps --debug dumps and message display
@@ -347,6 +372,16 @@ def main(argv: list[str] | None = None) -> int:
             if o.interactive:
                 _interactive_refresh(tracker, o)  # final state stays visible
         finally:
+            if profiler_cm is not None:
+                profiler_cm.__exit__(None, None, None)
+            if o.stats:
+                # framework throughput meter (stderr keeps stdout byte-exact)
+                dt = max(time.time() - t_start, 1e-9)
+                ns = pipeline.samples_in * 1.0
+                sys.stderr.write(
+                    f"# {ns/1e6:.1f} Msamples in {dt:.2f}s = "
+                    f"{ns/dt/1e6:.1f} Msamples/s ({ns/dt/2e6:.0f}x realtime)\n"
+                )
             if stream is not sys.stdin.buffer:
                 stream.close()
     except KeyboardInterrupt:
@@ -354,6 +389,10 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if net:
             net.stop()
+        if o.state_save:
+            from .utils import state as state_mod
+
+            state_mod.save(o.state_save, tracker, cache, stats)
 
     if o.stats and o.filename:
         print_stats(stats)

@@ -20,7 +20,7 @@ from typing import BinaryIO, Callable, Iterator
 
 import numpy as np
 
-from ..constants import BUF_SAMPLES, FULL_LEN_SAMPLES
+from ..constants import BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES
 from ..io.sources import iq_buffers
 from ..ops.demod import demod_block
 from ..ops.magnitude import magnitude_from_iq
@@ -61,6 +61,7 @@ class DemodPipeline:
     ):
         self.cfg = cfg or PipelineConfig()
         self.stats = DecoderStats()
+        self.samples_in = 0      # new samples demodulated (throughput meter)
         self.cache = IcaoCache(clock=clock)
         self.debug_flags = debug_flags  # utils.debug.DebugFlags | None
         self.debug_out = debug_out
@@ -126,6 +127,7 @@ class DemodPipeline:
             return
         pending = None  # device results for the previous buffer (async)
         for buf in iq_buffers(stream, loop=self.cfg.loop):
+            self.samples_in += BLOCK_SAMPLES
             work = self._demod(buf)  # enqueued asynchronously by JAX
             if pending is not None:
                 self._resolve(pending, emit)
@@ -157,6 +159,7 @@ class DemodPipeline:
             if not bufs:
                 break
             n_real = len(bufs)
+            self.samples_in += n_real * BLOCK_SAMPLES
             x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
             x[:n_real] = np.stack(bufs)
             cand = demod_batch(
