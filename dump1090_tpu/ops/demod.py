@@ -265,16 +265,6 @@ def candidate_passes_window(w: jax.Array, pos: jax.Array):
     return msg1, errors1, gate1, msg2, errors2, gate2
 
 
-def _candidate_passes(m_pad: jax.Array, pos: jax.Array):
-    """Both demod passes for one candidate at scan position `pos`.
-
-    m_pad is the magnitude vector with one zero sample prepended, so the
-    window always contains m[pos-1].  Magnitudes are <= 65167, so the gather
-    traffic runs at uint16 width; window math is int32."""
-    w = lax.dynamic_slice_in_dim(m_pad, pos, WINDOW)
-    return candidate_passes_window(w.astype(jnp.int32), pos)
-
-
 def gather_candidate_windows(m: jax.Array, pos: jax.Array, *, pallas: bool) -> jax.Array:
     """Fetch (B, MC, 256) uint16 candidate windows from magnitudes (B, S),
     uint16 or int32; window index 0 holds m[pos-1] (zero at the stream head).

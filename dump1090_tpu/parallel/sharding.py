@@ -40,7 +40,6 @@ from ..constants import BLOCK_SAMPLES, BUF_SAMPLES, CARRY_SAMPLES, FULL_LEN_SAMP
 from ..ops.demod import (
     WINDOW,
     Candidates,
-    _candidate_passes,
     candidate_passes_window,
     compact_positions,
     preamble_mask,

@@ -110,3 +110,21 @@ def test_frames_js_golden(modes1_path, golden_dir, tmp_path, monkeypatch):
     with open(modes1_path, "rb") as f:
         p.run(f, lambda mm: None)
     assert (tmp_path / "frames.js").read_text() == golden
+
+
+def test_debug_p_golden(golden_dir):
+    """--debug p (rejected-preamble dumps with the scratch last-message
+    quirk) is byte-identical to the reference on a synthetic capture with
+    one clean frame and a noise blob (dump1090.c:1612-1650)."""
+    import subprocess
+    import sys
+
+    inp = golden_dir / "debug_p_input.bin"
+    want = golden_dir / "golden_debug_p.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "dump1090_tpu", "--ifile", str(inp), "--debug", "p"],
+        capture_output=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0
+    assert r.stdout.decode() == want.read_text()

@@ -46,6 +46,23 @@ FIX="$REF/testfiles/modes1.bin"
 "$BUILD/dump1090" --ifile "$FIX" --raw --no-crc-check > "$OUT/golden_raw_nocrccheck.txt"
 "$BUILD/dump1090" --ifile "$FIX"                      > "$OUT/golden_verbose.txt"
 "$BUILD/dump1090" --ifile "$FIX" --debug c            > "$OUT/golden_debug_c.txt"
+# synthetic fixture for the --debug p (rejected preamble) dump path: one
+# clean DF17 frame + a small noise blob (kept tiny; real captures produce
+# gigabytes of reject dumps)
+python3 - "$OUT" <<'PYEOF'
+import sys
+sys.path.insert(0, "/root/repo")
+import numpy as np
+from dump1090_tpu.utils.synth import make_df17_frame, frame_to_iq
+stream = np.full(60000, 127, dtype=np.uint8)
+iq = frame_to_iq(make_df17_frame(addr=0x4D2023, metype=4), amplitude=90.0,
+                 pad_before=0, pad_after=0)
+stream[10000:10000 + len(iq)] = iq
+rng = np.random.default_rng(7)
+stream[30000:30060] = (127 + rng.normal(0, 30, 60)).clip(0, 255).astype(np.uint8)
+stream.tofile(sys.argv[1] + "/debug_p_input.bin")
+PYEOF
+"$BUILD/dump1090" --ifile "$OUT/debug_p_input.bin" --debug p > "$OUT/golden_debug_p.txt"
 (cd "$BUILD" && rm -f frames.js && ./dump1090 --ifile "$FIX" --debug Dj > /dev/null \
   && cp frames.js "$OUT/golden_frames_Dj.js")
 echo "goldens written to $OUT"
