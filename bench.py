@@ -139,6 +139,24 @@ def main() -> None:
           f"Msamples/s (resolve overlaps device work in streaming mode)",
           file=sys.stderr)
 
+    if native is not None:
+        # bulk record path (the CLI's pure --raw mode): no per-message objects
+        from dump1090_tpu.native import records_to_raw_lines
+
+        cache2, stats2 = IcaoCache(), DecoderStats()
+        t0 = time.perf_counter()
+        nbytes = 0
+        for b in range(n_buf):
+            one = type(cand)(*[f[b] for f in cand])
+            rec = native.resolve_block_records(
+                BlockCandidates.from_device(one), cache2, cfg, stats2)
+            nbytes += len(records_to_raw_lines(rec))
+        t_bulk = time.perf_counter() - t0
+        e2e_bulk = new_samples / (best + t_bulk)
+        print(f"bulk raw path: {t_bulk*1e3:.0f} ms / {n_buf} buffers "
+              f"({nbytes} output bytes); end-to-end {e2e_bulk/1e6:.0f} "
+              f"Msamples/s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "demod_throughput",
         "value": round(sps / 1e6, 1),

@@ -367,8 +367,25 @@ def main(argv: list[str] | None = None) -> int:
                     _interactive_refresh(tracker, o)
                     last_refresh[0] = now
 
+        # pure --raw with no other consumers: bulk record path (no
+        # per-message Python objects; hex lines formatted vectorially)
+        fast_raw = (
+            o.raw and not o.interactive and not o.net and not o.onlyaddr
+            and o.check_crc and not o.stats and not o.debug
+            and getattr(pipeline, "_native", None) is not None
+        )
         try:
-            pipeline.run(stream, on_message)
+            if fast_raw:
+                from .native import records_to_raw_lines
+
+                w = sys.stdout.buffer
+                for rec in pipeline.stream_records(stream):
+                    line = records_to_raw_lines(rec)
+                    if line:
+                        w.write(line)
+                        w.flush()
+            else:
+                pipeline.run(stream, on_message)
             if o.interactive:
                 _interactive_refresh(tracker, o)  # final state stays visible
         finally:

@@ -174,6 +174,66 @@ class DemodPipeline:
         if pending is not None:
             yield from self._resolve_batch(pending, emit, drain)
 
+    def stream_records(self, stream: BinaryIO):
+        """Bulk fast path: yield one packed native Record array per buffer,
+        in stream order, with zero per-message Python objects.  Requires the
+        native resolver (raises RuntimeError otherwise); used by the CLI's
+        pure --raw mode, where the hex lines are formatted vectorially."""
+        import itertools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel.sharding import demod_batch
+
+        if self._native is None:
+            raise RuntimeError("stream_records requires the native resolver")
+        nb = max(self.cfg.batch_buffers, 1)
+        it = iq_buffers(stream, loop=self.cfg.loop)
+        pending = None
+        while True:
+            bufs = list(itertools.islice(it, nb))
+            if bufs:
+                n_real = len(bufs)
+                self.samples_in += n_real * BLOCK_SAMPLES
+                x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
+                x[:n_real] = np.stack(bufs)
+                work = (
+                    x,
+                    demod_batch(
+                        jnp.asarray(x),
+                        scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
+                        max_candidates=self.cfg.max_candidates,
+                    ),
+                    n_real,
+                )
+            else:
+                work = None
+            if pending is not None:
+                x, cand, n_real = pending
+                host = jax.device_get(list(cand))
+                for b in range(n_real):
+                    row = type(cand)(*[f[b] for f in host])
+                    try:
+                        bc = BlockCandidates.from_device(row)
+                    except OverflowError:
+                        mc = row.pos.shape[0]
+                        while True:
+                            mc *= 4
+                            w2 = self._demod(x[b], max_candidates=mc)
+                            try:
+                                bc = BlockCandidates.from_device(w2[1])
+                                break
+                            except OverflowError:
+                                if mc >= 16384:
+                                    raise
+                    yield self._native.resolve_block_records(
+                        bc, self.cache, self.cfg.decoder, self.stats
+                    )
+            if work is None:
+                return
+            pending = work
+
     def _resolve_batch(self, work, emit, drain: list | None):
         import jax
 

@@ -154,9 +154,18 @@ class NativeResolver:
     def resolve_block(self, cands, cache, cfg, stats, emit) -> None:
         """Exact twin of models.resolver.resolve_block (no debug path —
         callers requesting --debug dumps use the Python resolver)."""
+        records = self.resolve_block_records(cands, cache, cfg, stats)
+        for mm in records_to_messages(records):
+            emit(mm)
+
+    def resolve_block_records(self, cands, cache, cfg, stats) -> np.ndarray:
+        """Like resolve_block, but returns the packed Record array directly
+        (a copy) instead of wrapping rows in message objects — the bulk path
+        for consumers that post-process records vectorially (e.g. the CLI's
+        pure --raw mode)."""
         n = len(cands.pos)
         if n == 0:
-            return
+            return np.empty(0, dtype=RECORD_DTYPE)
         if self._out.shape[0] < 2 * n:
             self._out = np.zeros(2 * n, dtype=RECORD_DTYPE)
         pos = np.ascontiguousarray(cands.pos, dtype=np.int32)
@@ -168,7 +177,6 @@ class NativeResolver:
         gate2 = np.ascontiguousarray(cands.gate2).view(np.uint8)
         deltas = np.zeros(len(STATS_FIELDS), dtype=np.int64)
         now = cache.clock()
-
         n_out = self._lib.d1090_resolve_block(
             ctypes.c_void_p(self._state), _ptr(pos), _ptr(msg1), _ptr(errors1),
             _ptr(gate1), _ptr(msg2), _ptr(errors2), _ptr(gate2),
@@ -177,13 +185,11 @@ class NativeResolver:
             ctypes.c_int32(int(cfg.aggressive)), _ptr(deltas),
             _ptr(self._out), ctypes.c_int64(self._out.shape[0]),
         )
-        if n_out < 0:  # cannot happen with out_cap >= 2n; belt and braces
+        if n_out < 0:
             raise OverflowError("native resolver output overflow")
         for name, d in zip(STATS_FIELDS, deltas.tolist()):
             setattr(stats, name, getattr(stats, name) + d)
-        # copy: rows are views, and self._out is reused across blocks
-        for mm in records_to_messages(self._out[:n_out].copy()):
-            emit(mm)
+        return self._out[:n_out].copy()
 
     def decode_one(self, raw: bytes, cache, cfg, stats=None):
         """Native twin of models.decoder.decode_message."""
@@ -253,3 +259,23 @@ def records_to_messages(records: np.ndarray) -> list:
         RecordMessage.__dataclass_params__ = ModesMessage.__dataclass_params__
     crcok = records["crcok"].tolist()
     return [RecordMessage(row, ok != 0) for row, ok in zip(records, crcok)]
+
+
+def records_to_raw_lines(records: np.ndarray, upper: bool = False) -> bytes:
+    """Vectorized `*<hex>;\n` lines for the good-CRC records of a block —
+    the bulk form of displayModesMessage's --raw branch + modesSendRawOutput
+    (dump1090.c:1317-1324, 2381-2393)."""
+    import binascii
+
+    ok = records[records["crcok"] != 0]
+    if not len(ok):
+        return b""
+    hexes = binascii.hexlify(np.ascontiguousarray(ok["msg"]).tobytes())
+    if upper:
+        hexes = hexes.upper()
+    h = np.frombuffer(hexes, dtype="S28")
+    is_long = (ok["msgbits"] == 112).tolist()
+    out = bytearray()
+    for hh, lg in zip(h.tolist(), is_long):
+        out += b"*" + (hh if lg else hh[:14]) + b";\n"
+    return bytes(out)

@@ -70,3 +70,27 @@ def test_snip_mode_parity(modes1_path):
             c = 0
         out += bytes((i, q))
     assert r.stdout == bytes(out)
+
+
+def test_raw_output_byte_exact(golden_dir, modes1_path):
+    """CLI --raw (the bulk record fast path) vs the reference's raw stream."""
+    r = run_cli(["--ifile", str(modes1_path), "--raw"])
+    assert r.returncode == 0
+    assert r.stdout.decode() == (golden_dir / "golden_raw.txt").read_text()
+
+
+def test_raw_fast_path_equals_hub_path(modes1_path):
+    """--raw via stream_records must equal --raw forced through the
+    per-message hub path (DUMP1090_TPU_NO_NATIVE disables the native
+    resolver and with it the bulk path)."""
+    fast = run_cli(["--ifile", str(modes1_path), "--raw"])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["DUMP1090_TPU_NO_NATIVE"] = "1"
+    if not os.environ.get("DUMP1090_TEST_TPU"):
+        env["JAX_PLATFORMS"] = "cpu"
+    slow = subprocess.run(
+        [sys.executable, "-m", "dump1090_tpu", "--ifile", str(modes1_path), "--raw"],
+        capture_output=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert fast.stdout == slow.stdout
