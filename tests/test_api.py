@@ -1,0 +1,41 @@
+"""High-level API: decode_capture / decode_captures (channel batching)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dump1090_tpu import api
+
+FIXTURE = "/root/reference/testfiles/modes1.bin"
+
+
+def test_decode_capture_matches_golden(golden_dir):
+    msgs = api.decode_capture(FIXTURE, crcok_only=True)
+    got = ["*" + m.msg[: m.msgbits // 8].hex() + ";" for m in msgs]
+    want = (golden_dir / "golden_raw.txt").read_text().split()
+    assert got == want
+
+
+def test_decode_capture_accepts_bytes_and_arrays():
+    raw = open(FIXTURE, "rb").read()
+    a = api.decode_capture(raw, crcok_only=True)
+    b = api.decode_capture(np.frombuffer(raw, np.uint8), crcok_only=True)
+    assert len(a) == len(b) == 217
+
+
+def test_decode_captures_channel_batched_matches_solo():
+    """Several independent captures decoded with shared dispatches must be
+    per-stream identical to solo decode — incl. captures of different
+    lengths (exhausted streams pad with silence)."""
+    import dataclasses
+
+    raw = open(FIXTURE, "rb").read()
+    half = (len(raw) // 2) & ~1
+    captures = [raw, raw[:half], raw[half:]]
+
+    batched = api.decode_captures(captures)
+    solo = [api.decode_capture(c, batch_buffers=1) for c in captures]
+    assert [len(b) for b in batched] == [len(s) for s in solo]
+    for bs, ss in zip(batched, solo):
+        for x, y in zip(bs, ss):
+            assert dataclasses.asdict(x) == dataclasses.asdict(y)

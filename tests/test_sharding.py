@@ -102,3 +102,24 @@ def test_batch_sharded_buffers(mag131072, modes1_path):
     np.testing.assert_array_equal(cand.pos[0], ref.pos)
     np.testing.assert_array_equal(cand.msg1[0], ref.msg1)
     np.testing.assert_array_equal(cand.msg2[0], ref.msg2)
+
+
+def test_multihost_helpers_single_process():
+    """global_mesh + shard_timeline wire a (dp, sp) mesh end-to-end with the
+    time-sharded demod (single process over the virtual 8-device mesh)."""
+    import numpy as np
+
+    from dump1090_tpu.parallel import multihost
+    from dump1090_tpu.parallel.sharding import make_sharded_demod
+
+    assert multihost.initialize_from_env() is False  # no coordinator env set
+    mesh = multihost.global_mesh(dp=2, sp=4)
+    assert mesh.shape == {"dp": 2, "sp": 4}
+
+    shard = 1024
+    rng = np.random.default_rng(0)
+    mag = rng.integers(0, 60000, (2, 4 * shard), dtype=np.int32)
+    x = multihost.shard_timeline(mag, mesh)
+    fn = make_sharded_demod(mesh, shard_samples=shard, max_candidates=64)
+    cand = fn(x)
+    assert cand.pos.shape == (2, 4 * 64)
