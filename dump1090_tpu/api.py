@@ -147,6 +147,25 @@ def decode_captures(
     return results
 
 
+def _redemod_with_retry(buf: np.ndarray, mc: int) -> BlockCandidates:
+    import jax.numpy as jnp
+
+    from .ops.demod import demod_iq_block
+
+    while True:
+        mc *= 4
+        big = demod_iq_block(
+            jnp.asarray(buf),
+            scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
+            max_candidates=mc,
+        )
+        try:
+            return BlockCandidates.from_device(big)
+        except OverflowError:
+            if mc >= 16384:
+                raise
+
+
 def _resolve_rows(work, states, dcfg) -> None:
     import jax
     import jax.numpy as jnp
@@ -158,22 +177,7 @@ def _resolve_rows(work, states, dcfg) -> None:
         try:
             bc = BlockCandidates.from_device(row)
         except OverflowError:
-            from .ops.demod import demod_iq_block
-
-            mc = row.pos.shape[0]
-            bc = None
-            while bc is None:
-                mc *= 4
-                big = demod_iq_block(
-                    jnp.asarray(x[k]),
-                    scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                    max_candidates=mc,
-                )
-                try:
-                    bc = BlockCandidates.from_device(big)
-                except OverflowError:
-                    if mc >= 16384:
-                        raise
+            bc = _redemod_with_retry(x[k], row.pos.shape[0])
         st = states[k]
         if st.resolver is not None:
             st.resolver.resolve_block(bc, st.cache, dcfg, st.stats, st.messages.append)

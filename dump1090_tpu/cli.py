@@ -230,22 +230,27 @@ def main(argv: list[str] | None = None) -> int:
         snip_mode(o.snip)
         return 0
 
-    if o.backend:
-        import os
+    import os
 
+    if o.backend:
         os.environ.setdefault("JAX_PLATFORMS", o.backend)
 
     # persistent XLA compilation cache: the demod program compiles once per
-    # (block size, max_candidates) ever, not once per process
-    import os
+    # (block size, max_candidates) ever, not once per process.  Only for
+    # invocations that will actually compile (--net-only never touches jax,
+    # and an unwritable HOME must not break it).
+    if o.filename is not None and not o.net_only and not os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR"
+    ):
+        try:
+            cache = os.path.expanduser("~/.cache/dump1090_tpu/jax")
+            os.makedirs(cache, exist_ok=True)
+            import jax
 
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        import jax
-
-        cache = os.path.expanduser("~/.cache/dump1090_tpu/jax")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except OSError:
+            pass
 
     from .models.decoder import (
         DecoderConfig,

@@ -31,14 +31,14 @@ from .resolver import BlockCandidates, resolve_block
 @dataclass
 class PipelineConfig:
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
-    # Preamble candidates per buffer the device kernels are shaped for.  415
-    # over the whole (dead-air-stripped) modes1.bin capture is the densest
-    # real traffic we have measured — ~152 per 131072-sample buffer; 256
-    # gives 1.7x headroom, and a buffer that still overflows is retried at
-    # 4x (the kernel reports the exact preamble count, so overflow is
-    # detected, never silent).  Lower is faster: gather + demod-pass cost is
-    # proportional to this.
-    max_candidates: int = 256
+    # Preamble candidates per buffer the device kernels are shaped for.
+    # Densest real traffic measured: modes1.bin (dead-air-stripped) peaks at
+    # 215 preambles in one 131072-sample buffer; 384 gives 1.8x headroom,
+    # and a buffer that still overflows is retried at 4x (the kernel
+    # reports the exact preamble count, so overflow is detected, never
+    # silent).  Lower is faster: gather + demod-pass cost is proportional
+    # to this.  Must be a multiple of 16 (the Pallas gather CHUNK).
+    max_candidates: int = 384
     loop: bool = False
     # Buffers demodulated per device dispatch.  1 = lowest latency (65 ms of
     # signal per dispatch) for live stdin/network feeds; >1 amortizes the
@@ -66,9 +66,11 @@ class DemodPipeline:
         self.debug_flags = debug_flags  # utils.debug.DebugFlags | None
         self.debug_out = debug_out
         # host resolver: the native C++ runtime when available (same
-        # semantics, ~100x faster); --debug dumps need the Python replay
+        # semantics, ~100x faster).  Only the demod-dump flags (dDcCpj)
+        # need the Python replay; network debugging ('n') keeps native.
         self._native = None
-        if native is not False and debug_flags is None:
+        needs_python = debug_flags is not None and debug_flags.any_demod_dump
+        if native is not False and not needs_python:
             try:
                 from ..native import NativeResolver
 
@@ -217,16 +219,7 @@ class DemodPipeline:
                     try:
                         bc = BlockCandidates.from_device(row)
                     except OverflowError:
-                        mc = row.pos.shape[0]
-                        while True:
-                            mc *= 4
-                            w2 = self._demod(x[b], max_candidates=mc)
-                            try:
-                                bc = BlockCandidates.from_device(w2[1])
-                                break
-                            except OverflowError:
-                                if mc >= 16384:
-                                    raise
+                        _, bc = self._demod_retry(x[b], row.pos.shape[0])
                     yield self._native.resolve_block_records(
                         bc, self.cache, self.cfg.decoder, self.stats
                     )
@@ -246,11 +239,7 @@ class DemodPipeline:
                 bc = BlockCandidates.from_device(row)
             except OverflowError:
                 # single dense buffer: redo it alone with more headroom
-                self._resolve(self._demod(x[b]), emit)
-                if drain is not None:
-                    yield from drain
-                    drain.clear()
-                continue
+                _, bc = self._demod_retry(x[b], row.pos.shape[0])
             if self._native is not None:
                 self._native.resolve_block(
                     bc, self.cache, self.cfg.decoder, self.stats, emit
@@ -261,24 +250,25 @@ class DemodPipeline:
                 yield from drain
                 drain.clear()
 
+    def _demod_retry(self, buf: np.ndarray, mc: int):
+        """Re-demodulate one buffer with growing candidate headroom until its
+        exact preamble count fits (counts are reported by the kernel, so
+        overflow is detected, never silently truncated)."""
+        while True:
+            mc *= 4
+            work = self._demod(buf, max_candidates=mc)
+            try:
+                return work, BlockCandidates.from_device(work[1])
+            except OverflowError:
+                if mc >= 16384:  # > mask density ceiling; cannot happen
+                    raise
+
     def _resolve(self, work, emit) -> None:
         buf, cand, mag, rej = work
         try:
             host = BlockCandidates.from_device(cand)
         except OverflowError:
-            # denser than max_candidates preambles in one buffer: redo this
-            # buffer with 4x headroom (grows until it fits; counts are exact,
-            # so overflow is detected, never silently truncated)
-            host = None
-            mc = cand.pos.shape[0]
-            while host is None:
-                mc *= 4
-                work = self._demod(buf, max_candidates=mc)
-                try:
-                    host = BlockCandidates.from_device(work[1])
-                except OverflowError:
-                    if mc >= 16384:  # > mask density ceiling; cannot happen
-                        raise
+            work, host = self._demod_retry(buf, cand.pos.shape[0])
             _, cand, mag, rej = work
         if self._native is not None and not self._debugging:
             self._native.resolve_block(

@@ -70,8 +70,14 @@ def restore(
 
 
 def save(path: str, tracker, cache, stats) -> None:
-    with open(path, "w") as f:
+    # atomic: an interrupted save (second Ctrl-C, disk full) must not
+    # corrupt the previous checkpoint
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         f.write(snapshot(tracker, cache, stats))
+    os.replace(tmp, path)
 
 
 def load(path: str, tracker, cache, stats) -> None:

@@ -119,12 +119,15 @@ def test_debug_p_golden(golden_dir):
     import subprocess
     import sys
 
+    import os
+
+    repo = golden_dir.parent.parent
     inp = golden_dir / "debug_p_input.bin"
     want = golden_dir / "golden_debug_p.txt"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(repo)}
     r = subprocess.run(
         [sys.executable, "-m", "dump1090_tpu", "--ifile", str(inp), "--debug", "p"],
-        capture_output=True,
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, env=env, cwd=repo,
     )
     assert r.returncode == 0
     assert r.stdout.decode() == want.read_text()
