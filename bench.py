@@ -56,7 +56,7 @@ def main() -> None:
           f"({new_samples/1e6:.1f} M samples/pass)", file=sys.stderr)
 
     x = jax.device_put(jnp.asarray(bufs))
-    MC = 384  # the product default (PipelineConfig.max_candidates)
+    MC = 256  # the product default (PipelineConfig.max_candidates)
 
     def perturb(x, i):
         # vary the input each iteration so XLA cannot hoist the pass out of

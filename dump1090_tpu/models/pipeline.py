@@ -33,12 +33,14 @@ class PipelineConfig:
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     # Preamble candidates per buffer the device kernels are shaped for.
     # Densest real traffic measured: modes1.bin (dead-air-stripped) peaks at
-    # 215 preambles in one 131072-sample buffer; 384 gives 1.8x headroom,
-    # and a buffer that still overflows is retried at 4x (the kernel
-    # reports the exact preamble count, so overflow is detected, never
-    # silent).  Lower is faster: gather + demod-pass cost is proportional
-    # to this.  Must be a multiple of 16 (the Pallas gather CHUNK).
-    max_candidates: int = 384
+    # 215 preambles in one 131072-sample buffer, so 256 covers real traffic;
+    # a buffer that still overflows is retried at 4x (the kernel reports
+    # the exact preamble count, so overflow is detected, never silent) and
+    # the session then ADOPTS the larger shape permanently, so sustained
+    # dense traffic pays one retry total, not one per buffer.  Lower is
+    # faster: gather + demod-pass cost is proportional to this.  Must be a
+    # multiple of 16 (the Pallas gather CHUNK).
+    max_candidates: int = 256
     loop: bool = False
     # Buffers demodulated per device dispatch.  1 = lowest latency (65 ms of
     # signal per dispatch) for live stdin/network feeds; >1 amortizes the
@@ -258,7 +260,11 @@ class DemodPipeline:
             mc *= 4
             work = self._demod(buf, max_candidates=mc)
             try:
-                return work, BlockCandidates.from_device(work[1])
+                host = BlockCandidates.from_device(work[1])
+                # sticky: adopt the larger shape for the rest of the session
+                # so sustained dense traffic retries once, not per buffer
+                self.cfg.max_candidates = max(self.cfg.max_candidates, mc)
+                return work, host
             except OverflowError:
                 if mc >= 16384:  # > mask density ceiling; cannot happen
                     raise

@@ -176,3 +176,27 @@ def test_batched_stream_matches_unbatched():
         assert len(a) == len(other)
         for x, y in zip(a, other):
             assert dataclasses.asdict(x) == dataclasses.asdict(y)
+
+
+def test_overflow_retry_is_sticky():
+    """After one overflow the session adopts the larger candidate shape, so
+    sustained dense traffic does not retry per buffer."""
+    import io
+
+    import numpy as np
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+    from dump1090_tpu.utils.synth import frame_to_iq, make_df17_frame
+
+    frames = [make_df17_frame(addr=0x200000 + k, metype=4) for k in range(40)]
+    spacing = 1000 * 2
+    one_buf = np.full(40 * spacing + 4000, 127, dtype=np.uint8)
+    for k, f in enumerate(frames):
+        iq = frame_to_iq(f, amplitude=90.0, pad_before=0, pad_after=0)
+        one_buf[k * spacing : k * spacing + len(iq)] = iq
+
+    p = DemodPipeline(PipelineConfig(max_candidates=16), clock=lambda: 1000)
+    out = []
+    p.run(io.BytesIO(one_buf.tobytes()), out.append)
+    assert p.cfg.max_candidates >= 64  # grew and stuck
+    assert len({m.addr for m in out if m.crcok}) >= 40
