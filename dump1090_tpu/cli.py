@@ -289,7 +289,10 @@ def main(argv: list[str] | None = None) -> int:
         pipeline = DemodPipeline(
             PipelineConfig(
                 decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop,
-                batch_buffers=batch,
+                batch_buffers=1 if o.interactive else batch,
+                # the reference slows --ifile playback in interactive mode
+                # (usleep(5000) per 65.5 ms buffer, dump1090.c:471-477)
+                throttle_s=0.005 if o.interactive else 0.0,
             ),
             debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
         )

@@ -40,14 +40,22 @@ def iq_buffers(
     loop: bool = False,
     seekable: bool | None = None,
     decode_eof_buffer: bool = False,
+    throttle_s: float = 0.0,
 ) -> Iterator[np.ndarray]:
     """Yield the uint8[BUF_BYTES] buffers the reference's decode loop actually
-    decodes (readDataFromFile, dump1090.c:460-514; EOF race, see module doc)."""
+    decodes (readDataFromFile, dump1090.c:460-514; EOF race, see module doc).
+
+    throttle_s: sleep before each fill — the reference's interactive-mode
+    playback brake (usleep(5000) per 65.5 ms buffer, dump1090.c:471-477)."""
     if seekable is None:
         seekable = stream.seekable()
     data = np.full(BUF_BYTES, 127, dtype=np.uint8)
     first = True
     while True:
+        if throttle_s > 0:
+            import time
+
+            time.sleep(throttle_s)
         data[:CARRY_BYTES] = data[DATA_LEN_BYTES : DATA_LEN_BYTES + CARRY_BYTES]
         filled = 0
         hit_eof = False

@@ -48,6 +48,9 @@ class PipelineConfig:
     # Results are bit-identical either way: buffers are independent on the
     # device and resolved strictly in stream order on the host.
     batch_buffers: int = 1
+    # seconds slept per buffer fill — the reference's --interactive playback
+    # brake for --ifile (usleep(5000), dump1090.c:471-477)
+    throttle_s: float = 0.0
 
 
 class DemodPipeline:
@@ -130,7 +133,7 @@ class DemodPipeline:
             yield from self._stream_batched(stream, emit, drain)
             return
         pending = None  # device results for the previous buffer (async)
-        for buf in iq_buffers(stream, loop=self.cfg.loop):
+        for buf in iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s):
             self.samples_in += BLOCK_SAMPLES
             work = self._demod(buf)  # enqueued asynchronously by JAX
             if pending is not None:
@@ -156,7 +159,7 @@ class DemodPipeline:
         from ..parallel.sharding import demod_batch
 
         nb = self.cfg.batch_buffers
-        it = iq_buffers(stream, loop=self.cfg.loop)
+        it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
         pending = None
         while True:
             bufs = list(itertools.islice(it, nb))
