@@ -396,19 +396,10 @@ def demod_iq_block(
     """Fused single-buffer forward path: uint8 IQ bytes -> Candidates in one
     XLA program (magnitude + preamble scan + compaction + both demod passes).
     One dispatch per buffer matters on runtimes with high per-dispatch cost."""
-    from .magnitude import magnitude_from_iq
+    from ..parallel.sharding import demod_batch
 
-    if pallas is None:
-        pallas = use_pallas_gather()
-    m = magnitude_from_iq(iq_bytes, out_dtype=jnp.uint16)
-    # materialize m once; fused into the 15 shifted views of the preamble
-    # predicate XLA would recompute the magnitude per view (measured 15x)
-    m = lax.optimization_barrier(m)
-    mask = preamble_mask(m, scan_len)
-    n = mask.sum().astype(jnp.int32)
-    pos = compact_positions(mask, max_candidates, scan_len)
-    w = gather_candidate_windows(m[None], pos[None], pallas=pallas)[0]
-    msg1, errors1, gate1, msg2, errors2, gate2 = jax.vmap(candidate_passes_window)(
-        w, pos
+    cand = demod_batch(
+        iq_bytes[None], scan_len=scan_len, max_candidates=max_candidates,
+        pallas=pallas,
     )
-    return Candidates(n, pos, msg1, errors1, gate1, msg2, errors2, gate2)
+    return Candidates(*[f[0] for f in cand])

@@ -75,10 +75,14 @@ def gather_windows(m_pad: jax.Array, pos: jax.Array, *, interpret: bool = False)
     B, S_pad = m_pad.shape
     assert S_pad % (8 * LANES) == 0, S_pad
     _, MC = pos.shape
-    assert MC % CHUNK == 0, MC
+    mc_pad = -(-MC // CHUNK) * CHUNK
+    if mc_pad != MC:  # grid works in CHUNK units; pad with position 0
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((B, mc_pad - MC), pos.dtype)], axis=1
+        )
     n_rows = S_pad // LANES
     m2d = m_pad.reshape(B, n_rows, LANES)
-    grid = (B, MC // CHUNK)
+    grid = (B, mc_pad // CHUNK)
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -99,10 +103,10 @@ def gather_windows(m_pad: jax.Array, pos: jax.Array, *, interpret: bool = False)
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, MC, 2, LANES), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((B, mc_pad, 2, LANES), jnp.uint16),
         interpret=interpret,
     )(pos.reshape(-1), m2d)
-    return out.reshape(B, MC, WINDOW_PAD)
+    return out.reshape(B, mc_pad, WINDOW_PAD)[:, :MC]
 
 
 def gather_windows_xla(m_pad: jax.Array, pos: jax.Array, width: int = WINDOW_PAD) -> jax.Array:

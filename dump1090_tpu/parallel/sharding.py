@@ -77,13 +77,13 @@ def demod_batch(
     if pallas is None:
         pallas = use_pallas_gather()
 
-    # uint16 magnitudes end-to-end: lossless (<= 65167) and halves the HBM
-    # traffic of the two O(samples) stages; consumers widen in-register.
-    # The barrier forces m to materialize once: fused into the preamble
-    # predicate's 15 shifted views, XLA would recompute the magnitude per
-    # view (measured 15x the stage cost).
+    # uint16 magnitudes end-to-end: lossless (<= 65167), half the HBM
+    # traffic.  NOTE: a fused Pallas front end (magnitude + mask in one
+    # VMEM pass) was prototyped and measured SLOWER than this XLA graph on
+    # v5e (4.6 ms vs 2.2 ms for the front half) — streaming elementwise
+    # work is where XLA's pipelining beats hand-written kernels; Pallas
+    # only wins here for the candidate-window gather below.
     m = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(iq_buffers)
-    m = lax.optimization_barrier(m)
     mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m)
     n = mask.sum(axis=1).astype(jnp.int32)
     pos = jax.vmap(lambda r: compact_positions(r, max_candidates, scan_len))(mask)

@@ -12,8 +12,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_cli(args, stdin=None, timeout=180):
+    # NOTE: no PYTHONPATH -- it breaks tunneled TPU plugin registration in
+    # subprocesses; cwd=REPO makes `python -m dump1090_tpu` resolve
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO)
+    env.pop("PYTHONPATH", None)
     if not os.environ.get("DUMP1090_TEST_TPU"):
         env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
@@ -85,7 +87,7 @@ def test_raw_fast_path_equals_hub_path(modes1_path):
     resolver and with it the bulk path)."""
     fast = run_cli(["--ifile", str(modes1_path), "--raw"])
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO)
+    env.pop("PYTHONPATH", None)
     env["DUMP1090_TPU_NO_NATIVE"] = "1"
     if not os.environ.get("DUMP1090_TEST_TPU"):
         env["JAX_PLATFORMS"] = "cpu"

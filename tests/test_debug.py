@@ -124,7 +124,8 @@ def test_debug_p_golden(golden_dir):
     repo = golden_dir.parent.parent
     inp = golden_dir / "debug_p_input.bin"
     want = golden_dir / "golden_debug_p.txt"
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(repo)}
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "dump1090_tpu", "--ifile", str(inp), "--debug", "p"],
         capture_output=True, env=env, cwd=repo,
