@@ -94,7 +94,7 @@ def main() -> None:
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # L amortizes the tunneled runtime's fixed dispatch+fetch cost (~35 ms)
-    L = 64
+    L = 128
     _ = float(jax.device_get(looped(x, L)))  # compile the L version
     best = float("inf")
     for _ in range(3):
