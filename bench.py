@@ -140,17 +140,16 @@ def main() -> None:
           file=sys.stderr)
 
     if native is not None:
-        # bulk record path (the CLI's pure --raw mode): no per-message objects
+        # bulk record path (the CLI's pure --raw mode): the whole batch in
+        # ONE native call, hex lines formatted vectorially
         from dump1090_tpu.native import records_to_raw_lines
 
         cache2, stats2 = IcaoCache(), DecoderStats()
+        host = list(cand)
         t0 = time.perf_counter()
-        nbytes = 0
-        for b in range(n_buf):
-            one = type(cand)(*[f[b] for f in cand])
-            rec = native.resolve_block_records(
-                BlockCandidates.from_device(one), cache2, cfg, stats2)
-            nbytes += len(records_to_raw_lines(rec))
+        records, counts = native.resolve_blocks_records(
+            host[1:], np.asarray(host[0]), cache2, cfg, stats2)
+        nbytes = len(records_to_raw_lines(records))
         t_bulk = time.perf_counter() - t0
         e2e_bulk = new_samples / (best + t_bulk)
         print(f"bulk raw path: {t_bulk*1e3:.0f} ms / {n_buf} buffers "

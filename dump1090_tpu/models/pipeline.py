@@ -219,15 +219,28 @@ class DemodPipeline:
             if pending is not None:
                 x, cand, n_real = pending
                 host = jax.device_get(list(cand))
-                for b in range(n_real):
-                    row = type(cand)(*[f[b] for f in host])
-                    try:
-                        bc = BlockCandidates.from_device(row)
-                    except OverflowError:
-                        _, bc = self._demod_retry(x[b], row.pos.shape[0])
-                    yield self._native.resolve_block_records(
-                        bc, self.cache, self.cfg.decoder, self.stats
+                n_arr = host[0][:n_real]
+                try:
+                    # whole batch in ONE native call (no per-row overhead)
+                    records, counts = self._native.resolve_blocks_records(
+                        [f[:n_real] for f in host[1:]], n_arr,
+                        self.cache, self.cfg.decoder, self.stats,
                     )
+                    off = 0
+                    for c in counts.tolist():
+                        yield records[off : off + c]
+                        off += c
+                except OverflowError:
+                    # a row denser than the shape: per-row path with retry
+                    for b in range(n_real):
+                        row = type(cand)(*[f[b] for f in host])
+                        try:
+                            bc = BlockCandidates.from_device(row)
+                        except OverflowError:
+                            _, bc = self._demod_retry(x[b], row.pos.shape[0])
+                        yield self._native.resolve_block_records(
+                            bc, self.cache, self.cfg.decoder, self.stats
+                        )
             if work is None:
                 return
             pending = work

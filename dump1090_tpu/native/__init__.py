@@ -118,6 +118,7 @@ def load():
         lib.d1090_destroy.argtypes = [ctypes.c_void_p]
         lib.d1090_checksum.restype = ctypes.c_uint32
         lib.d1090_resolve_block.restype = ctypes.c_int64
+        lib.d1090_resolve_blocks.restype = ctypes.c_int64
         _lib = lib
     except Exception as e:  # missing toolchain, compile error, ABI drift
         sys.stderr.write(f"dump1090_tpu: native runtime unavailable ({e}); "
@@ -190,6 +191,46 @@ class NativeResolver:
         for name, d in zip(STATS_FIELDS, deltas.tolist()):
             setattr(stats, name, getattr(stats, name) + d)
         return self._out[:n_out].copy()
+
+    def resolve_blocks_records(self, cand_host, n_arr, cache, cfg, stats):
+        """Resolve a whole batch in ONE native call.
+
+        cand_host: the (NB, MC, ...) kernel output arrays as host numpy
+        (pos, msg1, errors1, gate1, msg2, errors2, gate2 — the Candidates
+        field order minus n); n_arr: exact per-row counts.  Returns
+        (records, counts) with records concatenated in row order, or raises
+        OverflowError(row) if a row's count exceeds MC."""
+        pos, msg1, errors1, gate1, msg2, errors2, gate2 = cand_host
+        nb, mc = pos.shape
+        if int(n_arr.max(initial=0)) > mc:
+            raise OverflowError(int(np.argmax(n_arr)))
+        cap = 2 * nb * mc + 1
+        if self._out.shape[0] < cap:
+            self._out = np.zeros(cap, dtype=RECORD_DTYPE)
+        pos = np.ascontiguousarray(pos, dtype=np.int32)
+        msg1 = np.ascontiguousarray(msg1, dtype=np.uint8)
+        errors1 = np.ascontiguousarray(errors1, dtype=np.int32)
+        gate1 = np.ascontiguousarray(gate1).view(np.uint8)
+        msg2 = np.ascontiguousarray(msg2, dtype=np.uint8)
+        errors2 = np.ascontiguousarray(errors2, dtype=np.int32)
+        gate2 = np.ascontiguousarray(gate2).view(np.uint8)
+        n32 = np.ascontiguousarray(n_arr, dtype=np.int32)
+        counts = np.zeros(nb, dtype=np.int64)
+        deltas = np.zeros(len(STATS_FIELDS), dtype=np.int64)
+        total = self._lib.d1090_resolve_blocks(
+            ctypes.c_void_p(self._state), _ptr(pos), _ptr(msg1), _ptr(errors1),
+            _ptr(gate1), _ptr(msg2), _ptr(errors2), _ptr(gate2), _ptr(n32),
+            ctypes.c_int64(nb), ctypes.c_int64(mc),
+            _ptr(cache.addr), _ptr(cache.ts), ctypes.c_int64(cache.clock()),
+            ctypes.c_int32(int(cfg.fix_errors)),
+            ctypes.c_int32(int(cfg.aggressive)), _ptr(deltas),
+            _ptr(self._out), ctypes.c_int64(self._out.shape[0]), _ptr(counts),
+        )
+        if total < 0:
+            raise OverflowError(int(-total - 1))
+        for name, d in zip(STATS_FIELDS, deltas.tolist()):
+            setattr(stats, name, getattr(stats, name) + d)
+        return self._out[:total].copy(), counts
 
     def decode_one(self, raw: bytes, cache, cfg, stats=None):
         """Native twin of models.decoder.decode_message."""

@@ -527,4 +527,35 @@ int64_t d1090_resolve_block(void* state, const int32_t* pos,
   return n_out;
 }
 
+// Resolve a whole batch of blocks in one call: candidate arrays are the
+// (NB, MC, ...) fixed-shape kernel outputs, n_per_row the exact per-buffer
+// preamble counts.  Rows are resolved in order against the shared state.
+// Returns total records written (out_counts[r] = records of row r), or
+// -(r+1) if row r's count exceeds MC (caller re-demodulates that row with
+// more headroom).
+int64_t d1090_resolve_blocks(void* state, const int32_t* pos,
+                             const uint8_t* msg1, const int32_t* errors1,
+                             const uint8_t* gate1, const uint8_t* msg2,
+                             const int32_t* errors2, const uint8_t* gate2,
+                             const int32_t* n_per_row, int64_t nb, int64_t mc,
+                             uint32_t* icao_addrs, int64_t* icao_ts,
+                             int64_t now, int32_t fix_errors,
+                             int32_t aggressive, int64_t* stats, Record* out,
+                             int64_t out_cap, int64_t* out_counts) {
+  int64_t total = 0;
+  for (int64_t r = 0; r < nb; ++r) {
+    int64_t n = n_per_row[r];
+    if (n > mc) return -(r + 1);
+    int64_t w = d1090_resolve_block(
+        state, pos + r * mc, msg1 + r * mc * 14, errors1 + r * mc,
+        gate1 + r * mc, msg2 + r * mc * 14, errors2 + r * mc, gate2 + r * mc,
+        n, icao_addrs, icao_ts, now, fix_errors, aggressive, stats,
+        out + total, out_cap - total);
+    if (w < 0) return INT64_MIN;  // cannot happen with out_cap >= 2*sum(n)
+    out_counts[r] = w;
+    total += w;
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -175,3 +175,39 @@ def test_shared_cache_with_python_decode_path(native):
     df0[4], df0[5], df0[6] = (ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF
     mm2 = decode_message(df0, cache, cfg)
     assert mm2.crcok and mm2.addr == addr
+
+
+def test_stream_records_batched_and_overflow(native):
+    """stream_records (one native call per batch) equals per-block resolve,
+    including the dense-row overflow fallback."""
+    import io
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+    from dump1090_tpu.utils.synth import frame_to_iq, make_df17_frame
+
+    frames = [make_df17_frame(addr=0x300000 + k, metype=4) for k in range(40)]
+    spacing = 1000 * 2
+    stream = np.full(40 * spacing + 4000, 127, dtype=np.uint8)
+    for k, f in enumerate(frames):
+        iq = frame_to_iq(f, amplitude=90.0, pad_before=0, pad_after=0)
+        stream[k * spacing : k * spacing + len(iq)] = iq
+    data = stream.tobytes() + open(FIXTURE, "rb").read()
+
+    def run(mc, batch):
+        p = DemodPipeline(
+            PipelineConfig(max_candidates=mc, batch_buffers=batch),
+            clock=lambda: 1000,
+        )
+        recs = [r for r in p.stream_records(io.BytesIO(data))]
+        hexes = []
+        for block in recs:
+            for row in block:
+                if row["crcok"]:
+                    hexes.append(bytes(row["msg"]).hex())
+        return hexes, p.stats
+
+    a, sa = run(256, 4)
+    b, sb = run(16, 4)   # forces the overflow fallback inside a batch
+    c, sc = run(256, 1)
+    assert a == b == c
+    assert sa == sb == sc
