@@ -12,12 +12,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_cli(args, stdin=None, timeout=180):
-    # NOTE: no PYTHONPATH -- it breaks tunneled TPU plugin registration in
-    # subprocesses; cwd=REPO makes `python -m dump1090_tpu` resolve
+    # CLI subprocesses always run on CPU: these tests pin stdout byte
+    # format, not kernels (the rest of the suite exercises the device
+    # in-process), and tunneled TPU backends do not register in pytest
+    # subprocesses.  cwd=REPO makes `python -m dump1090_tpu` resolve.
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
-    if not os.environ.get("DUMP1090_TEST_TPU"):
-        env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "dump1090_tpu", *args],
         capture_output=True, input=stdin, timeout=timeout, env=env, cwd=REPO,
@@ -89,8 +90,7 @@ def test_raw_fast_path_equals_hub_path(modes1_path):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["DUMP1090_TPU_NO_NATIVE"] = "1"
-    if not os.environ.get("DUMP1090_TEST_TPU"):
-        env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
     slow = subprocess.run(
         [sys.executable, "-m", "dump1090_tpu", "--ifile", str(modes1_path), "--raw"],
         capture_output=True, env=env, cwd=REPO, timeout=300,
