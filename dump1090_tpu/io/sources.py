@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import sys
+import time
 from typing import BinaryIO, Iterator
 
 import numpy as np
@@ -53,8 +54,6 @@ def iq_buffers(
     first = True
     while True:
         if throttle_s > 0:
-            import time
-
             time.sleep(throttle_s)
         data[:CARRY_BYTES] = data[DATA_LEN_BYTES : DATA_LEN_BYTES + CARRY_BYTES]
         filled = 0

@@ -65,6 +65,9 @@ class DemodPipeline:
         native: bool | None = None,
     ):
         self.cfg = cfg or PipelineConfig()
+        # working candidate shape; sticky growth on overflow lives on the
+        # INSTANCE so a PipelineConfig shared across pipelines is not mutated
+        self._mc = self.cfg.max_candidates
         self.stats = DecoderStats()
         self.samples_in = 0      # new samples demodulated (throughput meter)
         self.cache = IcaoCache(clock=clock)
@@ -97,7 +100,7 @@ class DemodPipeline:
     def _demod(self, buf: np.ndarray, max_candidates: int | None = None):
         import jax.numpy as jnp
 
-        mc = max_candidates or self.cfg.max_candidates
+        mc = max_candidates or self._mc
         if not self._debugging:
             from ..ops.demod import demod_iq_block
 
@@ -172,7 +175,7 @@ class DemodPipeline:
             cand = demod_batch(
                 jnp.asarray(x),
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                max_candidates=self.cfg.max_candidates,
+                max_candidates=self._mc,
             )
             work = (x, cand, n_real)
             if pending is not None:
@@ -196,7 +199,7 @@ class DemodPipeline:
         if self._native is None:
             raise RuntimeError("stream_records requires the native resolver")
         nb = max(self.cfg.batch_buffers, 1)
-        it = iq_buffers(stream, loop=self.cfg.loop)
+        it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
         pending = None
         while True:
             bufs = list(itertools.islice(it, nb))
@@ -210,7 +213,7 @@ class DemodPipeline:
                     demod_batch(
                         jnp.asarray(x),
                         scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                        max_candidates=self.cfg.max_candidates,
+                        max_candidates=self._mc,
                     ),
                     n_real,
                 )
@@ -251,6 +254,23 @@ class DemodPipeline:
         x, cand, n_real = work
         host = jax.device_get(list(cand))  # ONE transfer: per-field fetches
         # each pay the runtime's round-trip latency
+        if self._native is not None:
+            try:
+                # whole batch in one native call (matches stream_records)
+                from ..native import records_to_messages
+
+                records, counts = self._native.resolve_blocks_records(
+                    [f[:n_real] for f in host[1:]], host[0][:n_real],
+                    self.cache, self.cfg.decoder, self.stats,
+                )
+                for mm in records_to_messages(records):
+                    emit(mm)
+                if drain is not None:
+                    yield from drain
+                    drain.clear()
+                return
+            except OverflowError:
+                pass  # a dense row: fall through to the per-row path
         for b in range(n_real):
             row = type(cand)(*[f[b] for f in host])
             try:
@@ -279,7 +299,7 @@ class DemodPipeline:
                 host = BlockCandidates.from_device(work[1])
                 # sticky: adopt the larger shape for the rest of the session
                 # so sustained dense traffic retries once, not per buffer
-                self.cfg.max_candidates = max(self.cfg.max_candidates, mc)
+                self._mc = max(self._mc, mc)
                 return work, host
             except OverflowError:
                 if mc >= 16384:  # > mask density ceiling; cannot happen

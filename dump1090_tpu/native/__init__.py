@@ -202,6 +202,10 @@ class NativeResolver:
         OverflowError(row) if a row's count exceeds MC."""
         pos, msg1, errors1, gate1, msg2, errors2, gate2 = cand_host
         nb, mc = pos.shape
+        # PRECONDITION check BEFORE the native call: resolving rows mutates
+        # the shared ICAO cache as it goes, so an overflow must be detected
+        # while the state is still untouched (the caller's per-row fallback
+        # re-resolves from this exact state)
         if int(n_arr.max(initial=0)) > mc:
             raise OverflowError(int(np.argmax(n_arr)))
         cap = 2 * nb * mc + 1
@@ -226,8 +230,8 @@ class NativeResolver:
             ctypes.c_int32(int(cfg.aggressive)), _ptr(deltas),
             _ptr(self._out), ctypes.c_int64(self._out.shape[0]), _ptr(counts),
         )
-        if total < 0:
-            raise OverflowError(int(-total - 1))
+        if total < 0:  # unreachable given the precondition check above
+            raise RuntimeError(f"native batch resolve failed ({total})")
         for name, d in zip(STATS_FIELDS, deltas.tolist()):
             setattr(stats, name, getattr(stats, name) + d)
         return self._out[:total].copy(), counts

@@ -530,9 +530,13 @@ int64_t d1090_resolve_block(void* state, const int32_t* pos,
 // Resolve a whole batch of blocks in one call: candidate arrays are the
 // (NB, MC, ...) fixed-shape kernel outputs, n_per_row the exact per-buffer
 // preamble counts.  Rows are resolved in order against the shared state.
-// Returns total records written (out_counts[r] = records of row r), or
-// -(r+1) if row r's count exceeds MC (caller re-demodulates that row with
-// more headroom).
+// Returns total records written (out_counts[r] = records of row r).
+//
+// PRECONDITION: every n_per_row[r] <= mc and out_cap >= 2*sum(n)+1.  The
+// caller must verify this BEFORE calling: rows mutate the shared ICAO cache
+// as they resolve, so aborting midway (the negative returns below) leaves
+// state a per-row retry cannot reproduce.  The Python binding pre-checks
+// and treats a negative return as an internal error.
 int64_t d1090_resolve_blocks(void* state, const int32_t* pos,
                              const uint8_t* msg1, const int32_t* errors1,
                              const uint8_t* gate1, const uint8_t* msg2,

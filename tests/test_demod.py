@@ -195,8 +195,10 @@ def test_overflow_retry_is_sticky():
         iq = frame_to_iq(f, amplitude=90.0, pad_before=0, pad_after=0)
         one_buf[k * spacing : k * spacing + len(iq)] = iq
 
-    p = DemodPipeline(PipelineConfig(max_candidates=16), clock=lambda: 1000)
+    cfg = PipelineConfig(max_candidates=16)
+    p = DemodPipeline(cfg, clock=lambda: 1000)
     out = []
     p.run(io.BytesIO(one_buf.tobytes()), out.append)
-    assert p.cfg.max_candidates >= 64  # grew and stuck
+    assert p._mc >= 64           # grew and stuck on the instance...
+    assert cfg.max_candidates == 16  # ...without mutating the shared config
     assert len({m.addr for m in out if m.crcok}) >= 40

@@ -32,8 +32,14 @@ needs_8 = pytest.mark.skipif(
 )
 
 
-@needs_8
 def test_requires_8_devices():
+    """On CPU runs the virtual 8-device mesh is part of the contract (a
+    misconfigured conftest must fail loudly, not skip the whole sharding
+    suite); on the real chip (DUMP1090_TEST_TPU) device count is hardware."""
+    import os
+
+    if os.environ.get("DUMP1090_TEST_TPU"):
+        pytest.skip("real TPU: device count is whatever the slice has")
     assert len(jax.devices()) >= 8
 
 
