@@ -140,3 +140,43 @@ def test_multihost_helpers_single_process():
     fn = make_sharded_demod(mesh, shard_samples=shard, max_candidates=64)
     cand = fn(x)
     assert cand.pos.shape == (2, 4 * 64)
+
+
+@needs_8
+def test_sharded_merge_resolves_to_messages(modes1_path):
+    """Full multi-chip path to MESSAGES: time-sharded demod -> host merge ->
+    sequential resolver equals the unsharded single-scan of the same
+    timeline (positions, payloads, and stats)."""
+    from dump1090_tpu.models.decoder import DecoderConfig, DecoderStats, IcaoCache
+    from dump1090_tpu.models.resolver import resolve_block
+    from dump1090_tpu.ops.demod import demod_block
+
+    m = None
+    with open(modes1_path, "rb") as f:
+        buf = next(iq_buffers(f))
+    m = np.asarray(magnitude_from_iq(jnp.asarray(buf)))[: 8 * 16384]
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("dp", "sp"))
+    fn = sh.make_sharded_demod(mesh, shard_samples=16384, max_candidates=128)
+    cand = fn(jnp.asarray(m[None]))
+    n, merged = sh.merge_sharded_candidates(cand, scan_total=len(m))
+
+    def run(bc):
+        cache, stats = IcaoCache(clock=lambda: 1000), DecoderStats()
+        out = []
+        resolve_block(bc, cache, DecoderConfig(), stats, out.append)
+        return out, stats
+
+    a, sa = run(merged)
+
+    # unsharded oracle: single scan over the same timeline
+    from dump1090_tpu.models.resolver import BlockCandidates
+
+    single = demod_block(
+        jnp.asarray(np.concatenate([m, np.zeros(240, np.int32)]).astype(np.int32)),
+        scan_len=len(m), max_candidates=1024,
+    )
+    b, sb = run(BlockCandidates.from_device(single))
+    assert sa == sb
+    assert [x.msg for x in a] == [x.msg for x in b]
+    assert len(a) > 0
