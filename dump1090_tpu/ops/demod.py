@@ -23,7 +23,9 @@ What this kernel deliberately does NOT do: the sequential "skip past a good
 message" rule and the stateful ICAO-cache acceptance coupling (dump1090.c:
 1769-1771, 942-983).  Those are O(candidates), order-dependent, and depend on
 CRC outcomes entangled with decode history; they are replayed exactly on the
-host by models/resolver.py over this kernel's compacted output.
+host over this kernel's compacted output — by the native C++ runtime
+(native/modes_native.cpp) in production, with models/resolver.py as the
+pure-Python oracle and --debug path.
 
 Returned arrays are fixed-shape (padded to `max_candidates`), so the whole
 pipeline is a single XLA program per block size.

@@ -12,7 +12,7 @@ BlockSpec index map depends only on the batch coordinate, so consecutive
 grid steps over the same row reuse the resident block), and every window is
 then cut out with register loads + in-register rolls — no per-candidate DMA
 at all.  HBM traffic drops to one contiguous read of m and one write of the
-windows.  Measured: 1.6 ms for 128x512 windows (1.75x over the DMA kernel).
+windows.  Measured: ~0.9 ms for 128x256 windows (1.75x over the DMA kernel).
 
 Mosaic constrains VMEM sublane slices to 8-row alignment, so each candidate
 loads an aligned (16, 128) tile covering its 241-sample window; the window is
