@@ -93,7 +93,9 @@ def decode_captures(
     from .parallel.sharding import demod_batch
 
     dcfg = config or DecoderConfig()
-    mc = PipelineConfig().max_candidates
+    # mutable holder: grown candidate shapes stick for subsequent batches,
+    # matching DemodPipeline's sticky-growth policy
+    mc_box = {"mc": PipelineConfig().max_candidates}
     scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
 
     streams = [_as_stream(c) for c in captures]
@@ -124,11 +126,12 @@ def decode_captures(
             work = None
             if live:
                 cand = demod_batch(
-                    jnp.asarray(x), scan_len=scan_len, max_candidates=mc
+                    jnp.asarray(x), scan_len=scan_len,
+                    max_candidates=mc_box["mc"],
                 )
                 work = (cand, live, x)
             if pending is not None:
-                _resolve_rows(pending, states, dcfg)
+                _resolve_rows(pending, states, dcfg, mc_box)
             if work is None:
                 break
             pending = work
@@ -147,7 +150,7 @@ def decode_captures(
     return results
 
 
-def _redemod_with_retry(buf: np.ndarray, mc: int) -> BlockCandidates:
+def _redemod_with_retry(buf: np.ndarray, mc: int, mc_box: dict) -> BlockCandidates:
     import jax.numpy as jnp
 
     from .ops.demod import demod_iq_block
@@ -160,13 +163,15 @@ def _redemod_with_retry(buf: np.ndarray, mc: int) -> BlockCandidates:
             max_candidates=mc,
         )
         try:
-            return BlockCandidates.from_device(big)
+            bc = BlockCandidates.from_device(big)
+            mc_box["mc"] = max(mc_box["mc"], mc)  # sticky for later batches
+            return bc
         except OverflowError:
             if mc >= 16384:
                 raise
 
 
-def _resolve_rows(work, states, dcfg) -> None:
+def _resolve_rows(work, states, dcfg, mc_box) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +182,7 @@ def _resolve_rows(work, states, dcfg) -> None:
         try:
             bc = BlockCandidates.from_device(row)
         except OverflowError:
-            bc = _redemod_with_retry(x[k], row.pos.shape[0])
+            bc = _redemod_with_retry(x[k], row.pos.shape[0], mc_box)
         st = states[k]
         if st.resolver is not None:
             st.resolver.resolve_block(bc, st.cache, dcfg, st.stats, st.messages.append)

@@ -302,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
 
     hub = MessageHub(hub_cfg, tracker, stats)
 
+    # Decode state (ICAO cache, stats, tracker, stdout) is mutated both by
+    # the file-decode thread and by raw network input arriving on the
+    # asyncio thread; the reference is single-threaded (it polls sockets
+    # between buffers, dump1090.c:2831-2847), so serialize the two here.
+    import threading
+
+    state_lock = threading.Lock()
+
     if o.state_load:
         from .utils import state as state_mod
 
@@ -312,9 +320,10 @@ def main(argv: list[str] | None = None) -> int:
         from .io.net import NetConfig, NetworkServices
 
         def on_raw_line(line: str) -> None:
-            mm = decode_hex_message(line, cache, dcfg, stats)
-            if mm is not None:
-                hub.use_message(mm)
+            with state_lock:
+                mm = decode_hex_message(line, cache, dcfg, stats)
+                if mm is not None:
+                    hub.use_message(mm)
 
         def bump(attr: str) -> None:
             setattr(stats, attr, getattr(stats, attr) + 1)
@@ -368,7 +377,8 @@ def main(argv: list[str] | None = None) -> int:
         def on_message(mm) -> None:
             # inline emission: keeps --debug dumps and message display
             # interleaved in scan order, exactly like the reference
-            hub.use_message(mm)
+            with state_lock:
+                hub.use_message(mm)
             if o.interactive:
                 now = time.time()
                 if now - last_refresh[0] > 0.25:

@@ -64,6 +64,7 @@ class NetworkServices:
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
+        self._start_error: OSError | None = None
         self._servers: list[asyncio.base_events.Server] = []
 
     def _log(self, msg: str) -> None:
@@ -78,11 +79,19 @@ class NetworkServices:
         self._thread = threading.Thread(target=self._run, name="net", daemon=True)
         self._thread.start()
         self._started.wait(timeout=10)
+        if self._start_error is not None:
+            # fail fast like the reference when a port cannot be bound
+            raise self._start_error
 
     def _run(self) -> None:
         self.loop = asyncio.new_event_loop()
         asyncio.set_event_loop(self.loop)
-        self.loop.run_until_complete(self._start_servers())
+        try:
+            self.loop.run_until_complete(self._start_servers())
+        except OSError as e:  # e.g. EADDRINUSE
+            self._start_error = e
+            self._started.set()
+            return
         self._started.set()
         self.loop.run_forever()
         # drain on stop
@@ -112,6 +121,12 @@ class NetworkServices:
     def broadcast_sbs(self, text: str) -> None:
         self._broadcast(self._sbs_clients, text)
 
+    # drop clients whose socket has this much unsent data — the reference
+    # drops a client on any short write (dump1090.c:2372-2375); asyncio
+    # buffers instead, which must be bounded or a stalled reader leaks
+    # memory without limit
+    MAX_WRITE_BUFFER = 1 << 20
+
     def _broadcast(self, clients: set, text: str) -> None:
         if self.loop is None or not clients:
             return
@@ -120,6 +135,10 @@ class NetworkServices:
         def _send() -> None:
             for w in list(clients):
                 try:
+                    if w.transport.get_write_buffer_size() > self.MAX_WRITE_BUFFER:
+                        clients.discard(w)
+                        w.close()
+                        continue
                     w.write(data)
                 except Exception:
                     clients.discard(w)

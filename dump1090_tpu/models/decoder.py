@@ -300,10 +300,11 @@ def decode_hex_message(
     body = hexstr[1:-1]
     if len(body) > LONG_MSG_BYTES * 2 or len(body) % 2:
         return None
-    try:
-        raw = bytes.fromhex(body)
-    except ValueError:
+    # strict hex only: bytes.fromhex tolerates embedded ASCII whitespace,
+    # the reference rejects any non-hex character (dump1090.c:2492-2497)
+    if not all(c in "0123456789abcdefABCDEF" for c in body):
         return None
+    raw = bytes.fromhex(body)
     return decode_message(raw, cache, cfg, stats)
 
 
@@ -354,9 +355,12 @@ def _decode_extended_squitter(mm: ModesMessage, msg: np.ndarray) -> None:
                 ewv = -mm.ew_velocity if mm.ew_dir else mm.ew_velocity
                 nsv = -mm.ns_velocity if mm.ns_dir else mm.ns_velocity
                 heading = math.atan2(ewv, nsv) * 360 / (2 * math.pi)
-                if heading < 0:
-                    heading += 360
+                # C stores into the int field FIRST (truncation toward
+                # zero), then adds 360 to the int (dump1090.c:1296-1299) —
+                # adding before truncation is off by one degree westbound
                 mm.heading = int(heading)
+                if mm.heading < 0:
+                    mm.heading += 360
             else:
                 mm.heading = 0
         elif mm.mesub in (3, 4):

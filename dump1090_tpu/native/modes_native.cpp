@@ -316,8 +316,10 @@ void decode_extended_squitter(Record* r, const uint8_t* b) {
         int nsv = r->ns_dir ? -r->ns_velocity : r->ns_velocity;
         double heading = std::atan2((double)ewv, (double)nsv) * 360.0 /
                          (2.0 * M_PI);
-        if (heading < 0) heading += 360;
+        // truncate into the int FIRST, then normalize — the reference adds
+        // 360 to the already-truncated int (dump1090.c:1296-1299)
         r->heading = (int32_t)heading;
+        if (r->heading < 0) r->heading += 360;
       } else {
         r->heading = 0;
       }

@@ -102,3 +102,31 @@ def test_verbose_heading_subtype3_has_no_newline():
     mm.heading = 270
     text = disp.display_message(mm)
     assert text.endswith("    Heading status: 4    Heading: 270")
+
+
+def test_velocity_heading_truncates_before_normalize():
+    """dump1090.c:1296-1299 stores the heading into the int field FIRST
+    (truncation toward zero), then adds 360: atan2(-3,4) = -36.87 deg must
+    become 324, not 323.  Not covered by any golden (verbose output does
+    not print the computed heading) — pinned here for Python and native."""
+    import numpy as np
+
+    from dump1090_tpu.models.decoder import DecoderConfig, IcaoCache, decode_message
+    from dump1090_tpu.utils.synth import make_df17_frame
+
+    me = bytes([0x04, 3, 0x00, 0x80, 0, 0])  # ew_dir=1 ew_vel=3 ns_vel=4
+    f = make_df17_frame(addr=0x4D2023, metype=19, mesub=1, me_payload=me)
+    mm = decode_message(
+        np.frombuffer(f, np.uint8), IcaoCache(clock=lambda: 0), DecoderConfig()
+    )
+    assert mm.velocity == 5
+    assert mm.heading == 324  # int(-36.87) = -36, then +360
+
+    try:
+        from dump1090_tpu.native import NativeResolver
+
+        nat = NativeResolver()
+    except Exception:
+        return
+    mm2 = nat.decode_one(f, IcaoCache(clock=lambda: 0), DecoderConfig())
+    assert mm2.heading == 324
