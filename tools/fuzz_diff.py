@@ -72,6 +72,20 @@ def decode_ours(stream: np.ndarray, mode: str) -> list[str]:
     from dump1090_tpu.models.decoder import DecoderConfig
     from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
 
+    if mode == "verbose":
+        # full field-decode + display formatting, via the real CLI
+        with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
+            stream.tofile(tf.name)
+            env = {k: v for k, v in __import__("os").environ.items()
+                   if k != "PYTHONPATH"}
+            env["JAX_PLATFORMS"] = "cpu"
+            out = subprocess.run(
+                [sys.executable, "-m", "dump1090_tpu", "--ifile", tf.name],
+                capture_output=True, text=True, timeout=600, env=env,
+                cwd=str(Path(__file__).resolve().parent.parent),
+            ).stdout
+        return out.splitlines()
+
     cfg = DecoderConfig(
         fix_errors=mode != "nofix", aggressive=mode == "aggressive"
     )
@@ -87,17 +101,23 @@ def decode_ours(stream: np.ndarray, mode: str) -> list[str]:
 
 
 def decode_ref(stream: np.ndarray, ref: str, mode: str) -> list[str]:
-    args = [ref, "--raw"]
+    args = [ref]
     if mode == "nofix":
-        args.append("--no-fix")
+        args += ["--raw", "--no-fix"]
     elif mode == "aggressive":
-        args.append("--aggressive")
+        args += ["--raw", "--aggressive"]
+    elif mode == "verbose":
+        pass  # full decoded-field display
+    else:
+        args.append("--raw")
     with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
         stream.tofile(tf.name)
         out = subprocess.run(
             args + ["--ifile", tf.name], capture_output=True, text=True,
             timeout=600,
         ).stdout
+    if mode == "verbose":
+        return out.splitlines()
     return [l.strip() for l in out.splitlines() if l.startswith("*")]
 
 
@@ -106,7 +126,7 @@ def main() -> None:
     ap.add_argument("--ref", default="/tmp/refbuild/dump1090")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--mode", default="raw", choices=["raw", "nofix", "aggressive"])
+    ap.add_argument("--mode", default="raw", choices=["raw", "nofix", "aggressive", "verbose"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
