@@ -24,7 +24,7 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
-from .constants import BUF_SAMPLES, FULL_LEN_SAMPLES
+from .constants import BUF_SAMPLES, FULL_LEN_SAMPLES, SCAN_POSITIONS
 from .models.decoder import DecoderConfig, DecoderStats, IcaoCache, ModesMessage
 from .models.pipeline import DemodPipeline, PipelineConfig
 from .models.resolver import BlockCandidates, resolve_block
@@ -167,7 +167,8 @@ def _redemod_with_retry(buf: np.ndarray, mc: int, mc_box: dict) -> BlockCandidat
             mc_box["mc"] = max(mc_box["mc"], mc)  # sticky for later batches
             return bc
         except OverflowError:
-            if mc >= 16384:
+            # every-other-position bound (adjacent preambles are excluded)
+            if mc >= SCAN_POSITIONS // 2 + 1:
                 raise
 
 

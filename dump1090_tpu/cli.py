@@ -61,6 +61,20 @@ Debug mode flags: d = Log frames decoded with errors
 """
 
 
+def get_term_rows() -> int:
+    """Terminal row count for the interactive TUI (getTermRows,
+    dump1090.c:2781-2785: TIOCGWINSZ on stdout).  The reference calls this
+    unconditionally at config time (dump1090.c:316); where its ioctl fails
+    (stdout not a tty) it reads uninitialized memory — we deterministically
+    fall back to the 15-row compile-time default instead."""
+    import os
+
+    try:
+        return os.get_terminal_size(sys.stdout.fileno()).lines
+    except (OSError, ValueError, AttributeError):
+        return INTERACTIVE_ROWS
+
+
 class Options:
     def __init__(self):
         self.gain = 999999
@@ -78,7 +92,7 @@ class Options:
         self.onlyaddr = False
         self.debug = ""
         self.interactive = False
-        self.interactive_rows = INTERACTIVE_ROWS
+        self.interactive_rows = get_term_rows()
         self.interactive_ttl = INTERACTIVE_TTL
         self.aggressive = False
         self.stats = False
@@ -306,9 +320,18 @@ def main(argv: list[str] | None = None) -> int:
     # the file-decode thread and by raw network input arriving on the
     # asyncio thread; the reference is single-threaded (it polls sockets
     # between buffers, dump1090.c:2831-2847), so serialize the two here.
+    # Reentrant: the pipeline holds it across resolve+emit, and the emit
+    # callback re-acquires it around hub.use_message.
     import threading
 
-    state_lock = threading.Lock()
+    state_lock = threading.RLock()
+    if pipeline is not None:
+        pipeline._lock = state_lock
+
+    # live terminal resize, like the reference (sigWinchCallback,
+    # dump1090.c:2772-2777, installed at dump1090.c:2940)
+    if o.interactive:
+        _install_sigwinch(o, tracker)
 
     if o.state_load:
         from .utils import state as state_mod
@@ -348,11 +371,16 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if o.net_only:
             sys.stderr.write("Net-only mode, no RTL device or file open.\n")
+            last_refresh = 0.0
             while True:
                 time.sleep(0.1)
-                tracker.remove_stale()
-                if o.interactive:
+                with state_lock:
+                    tracker.remove_stale()
+                # TUI refresh gated at 250 ms like backgroundTasks
+                # (MODES_INTERACTIVE_REFRESH_TIME, dump1090.c:89, 2839-2846)
+                if o.interactive and time.time() - last_refresh > 0.25:
                     _interactive_refresh(tracker, o)
+                    last_refresh = time.time()
             return 0  # unreachable
 
         if o.filename is None:
@@ -432,6 +460,21 @@ def main(argv: list[str] | None = None) -> int:
     if o.stats and o.filename:
         print_stats(stats)
     return 0
+
+
+def _install_sigwinch(o, tracker) -> None:
+    """Re-read the terminal height and redraw on resize (sigWinchCallback,
+    dump1090.c:2772-2777; installed for --interactive at dump1090.c:2940)."""
+    import signal
+
+    def _winch(sig, frame):
+        o.interactive_rows = get_term_rows()
+        _interactive_refresh(tracker, o)
+
+    try:
+        signal.signal(signal.SIGWINCH, _winch)
+    except (ValueError, AttributeError):
+        pass  # non-main thread or platform without SIGWINCH
 
 
 def _interactive_refresh(tracker, o) -> None:

@@ -68,10 +68,27 @@ class NetworkServices:
         self._servers: list[asyncio.base_events.Server] = []
 
     def _log(self, msg: str) -> None:
+        # --debug n lines go to STDOUT with reference wording
+        # (dump1090.c:2334-2335, 2345-2346, 2569-2570, 2590-2592)
         if self.cfg.debug_net:
             import sys
 
-            sys.stderr.write(msg + "\n")
+            sys.stdout.write(msg + "\n")
+            sys.stdout.flush()
+
+    @staticmethod
+    def _fd(writer) -> int:
+        sock = writer.get_extra_info("socket")
+        try:
+            return sock.fileno() if sock is not None else -1
+        except OSError:
+            return -1
+
+    def _log_new(self, writer) -> None:
+        self._log(f"Created new client {self._fd(writer)}")
+
+    def _log_close(self, fd: int) -> None:
+        self._log(f"Closing client {fd}")
 
     # ---- lifecycle --------------------------------------------------------
 
@@ -136,8 +153,12 @@ class NetworkServices:
             for w in list(clients):
                 try:
                     if w.transport.get_write_buffer_size() > self.MAX_WRITE_BUFFER:
+                        # reference drops a client on any short write
+                        # (dump1090.c:2372-2375 → modesFreeClient)
+                        fd = self._fd(w)
                         clients.discard(w)
                         w.close()
+                        self._log_close(fd)
                         continue
                     w.write(data)
                 except Exception:
@@ -148,8 +169,9 @@ class NetworkServices:
     # ---- raw output 30002: write-only clients ------------------------------
 
     async def _serve_raw_out(self, reader, writer) -> None:
+        fd = self._fd(writer)
         self._raw_clients.add(writer)
-        self._log(f"Created new client (raw output, port {self.cfg.ro_port})")
+        self._log(f"Created new client {fd}")
         try:
             while await reader.read(4096):
                 pass  # reference never reads raw-out clients; drain politely
@@ -158,10 +180,13 @@ class NetworkServices:
         finally:
             self._raw_clients.discard(writer)
             writer.close()
+            self._log_close(fd)
 
     # ---- raw input 30001: line-framed `*<hex>;` ----------------------------
 
     async def _serve_raw_in(self, reader, writer) -> None:
+        fd = self._fd(writer)
+        self._log(f"Created new client {fd}")
         try:
             while True:
                 line = await reader.readline()
@@ -174,12 +199,14 @@ class NetworkServices:
             pass
         finally:
             writer.close()
+            self._log_close(fd)
 
     # ---- SBS output 30003 ---------------------------------------------------
 
     async def _serve_sbs(self, reader, writer) -> None:
+        fd = self._fd(writer)
         self._sbs_clients.add(writer)
-        self._log(f"Created new client (SBS output, port {self.cfg.sbs_port})")
+        self._log(f"Created new client {fd}")
         self.on_sbs_connect()
         try:
             while await reader.read(4096):
@@ -189,10 +216,13 @@ class NetworkServices:
         finally:
             self._sbs_clients.discard(writer)
             writer.close()
+            self._log_close(fd)
 
     # ---- HTTP 8080 ----------------------------------------------------------
 
     async def _serve_http(self, reader, writer) -> None:
+        fd = self._fd(writer)
+        self._log(f"Created new client {fd}")
         try:
             while True:
                 # request framed on \r\n\r\n (dump1090.c:2731-2732)
@@ -205,7 +235,11 @@ class NetworkServices:
                 url = self._url(text)
                 if url is None:
                     break
-                self._log(f"HTTP request: {url}")
+                # handleHTTPRequest's debug prints (dump1090.c:2569-2570,
+                # 2590-2592): the raw request buffer, then keepalive + URL
+                self._log(f"\nHTTP request: {text}")
+                self._log(f"\nHTTP keep alive: {int(keepalive)}")
+                self._log(f"HTTP requested URL: {url}\n")
                 if "/data.json" in url:
                     content = self.data_json().encode()
                     ctype = CONTENT_TYPE_JSON
@@ -229,6 +263,7 @@ class NetworkServices:
             pass
         finally:
             writer.close()
+            self._log_close(fd)
 
     @staticmethod
     def _keepalive(head: str) -> bool:

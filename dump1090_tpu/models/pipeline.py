@@ -20,7 +20,7 @@ from typing import BinaryIO, Callable, Iterator
 
 import numpy as np
 
-from ..constants import BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES
+from ..constants import BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES, SCAN_POSITIONS
 from ..io.sources import iq_buffers
 from ..ops.demod import demod_block
 from ..ops.magnitude import magnitude_from_iq
@@ -63,8 +63,18 @@ class DemodPipeline:
         debug_flags=None,
         debug_out=None,
         native: bool | None = None,
+        lock=None,
     ):
         self.cfg = cfg or PipelineConfig()
+        # Held across every host resolve step (which mutates the shared
+        # IcaoCache/DecoderStats and runs the emit callbacks).  Callers that
+        # also decode raw network input on another thread pass the same
+        # (reentrant) lock so the two decode paths are serialized, like the
+        # single-threaded reference polling sockets between buffers
+        # (dump1090.c:2831-2847).
+        import contextlib
+
+        self._lock = lock if lock is not None else contextlib.nullcontext()
         # working candidate shape; sticky growth on overflow lives on the
         # INSTANCE so a PipelineConfig shared across pipelines is not mutated
         self._mc = self.cfg.max_candidates
@@ -225,10 +235,11 @@ class DemodPipeline:
                 n_arr = host[0][:n_real]
                 try:
                     # whole batch in ONE native call (no per-row overhead)
-                    records, counts = self._native.resolve_blocks_records(
-                        [f[:n_real] for f in host[1:]], n_arr,
-                        self.cache, self.cfg.decoder, self.stats,
-                    )
+                    with self._lock:
+                        records, counts = self._native.resolve_blocks_records(
+                            [f[:n_real] for f in host[1:]], n_arr,
+                            self.cache, self.cfg.decoder, self.stats,
+                        )
                     off = 0
                     for c in counts.tolist():
                         yield records[off : off + c]
@@ -241,9 +252,11 @@ class DemodPipeline:
                             bc = BlockCandidates.from_device(row)
                         except OverflowError:
                             _, bc = self._demod_retry(x[b], row.pos.shape[0])
-                        yield self._native.resolve_block_records(
-                            bc, self.cache, self.cfg.decoder, self.stats
-                        )
+                        with self._lock:
+                            rec = self._native.resolve_block_records(
+                                bc, self.cache, self.cfg.decoder, self.stats
+                            )
+                        yield rec
             if work is None:
                 return
             pending = work
@@ -259,12 +272,13 @@ class DemodPipeline:
                 # whole batch in one native call (matches stream_records)
                 from ..native import records_to_messages
 
-                records, counts = self._native.resolve_blocks_records(
-                    [f[:n_real] for f in host[1:]], host[0][:n_real],
-                    self.cache, self.cfg.decoder, self.stats,
-                )
-                for mm in records_to_messages(records):
-                    emit(mm)
+                with self._lock:
+                    records, counts = self._native.resolve_blocks_records(
+                        [f[:n_real] for f in host[1:]], host[0][:n_real],
+                        self.cache, self.cfg.decoder, self.stats,
+                    )
+                    for mm in records_to_messages(records):
+                        emit(mm)
                 if drain is not None:
                     yield from drain
                     drain.clear()
@@ -278,12 +292,13 @@ class DemodPipeline:
             except OverflowError:
                 # single dense buffer: redo it alone with more headroom
                 _, bc = self._demod_retry(x[b], row.pos.shape[0])
-            if self._native is not None:
-                self._native.resolve_block(
-                    bc, self.cache, self.cfg.decoder, self.stats, emit
-                )
-            else:
-                resolve_block(bc, self.cache, self.cfg.decoder, self.stats, emit)
+            with self._lock:
+                if self._native is not None:
+                    self._native.resolve_block(
+                        bc, self.cache, self.cfg.decoder, self.stats, emit
+                    )
+                else:
+                    resolve_block(bc, self.cache, self.cfg.decoder, self.stats, emit)
             if drain is not None:
                 yield from drain
                 drain.clear()
@@ -302,7 +317,9 @@ class DemodPipeline:
                 self._mc = max(self._mc, mc)
                 return work, host
             except OverflowError:
-                if mc >= 16384:  # > mask density ceiling; cannot happen
+                # true ceiling: the preamble predicate forbids adjacent hits,
+                # so a buffer holds at most every-other-position candidates
+                if mc >= SCAN_POSITIONS // 2 + 1:
                     raise
 
     def _resolve(self, work, emit) -> None:
@@ -313,9 +330,10 @@ class DemodPipeline:
             work, host = self._demod_retry(buf, cand.pos.shape[0])
             _, cand, mag, rej = work
         if self._native is not None and not self._debugging:
-            self._native.resolve_block(
-                host, self.cache, self.cfg.decoder, self.stats, emit
-            )
+            with self._lock:
+                self._native.resolve_block(
+                    host, self.cache, self.cfg.decoder, self.stats, emit
+                )
             return
         debug = None
         if self._debugging:
@@ -329,6 +347,7 @@ class DemodPipeline:
             )
             if self._debug_last_msg is not None:
                 debug.last_msg = self._debug_last_msg
-        resolve_block(host, self.cache, self.cfg.decoder, self.stats, emit, debug)
+        with self._lock:
+            resolve_block(host, self.cache, self.cfg.decoder, self.stats, emit, debug)
         if debug is not None:
             self._debug_last_msg = debug.last_msg

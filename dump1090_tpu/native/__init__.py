@@ -271,11 +271,15 @@ class RecordMessage:
         d["_row"] = row
 
     def __getattr__(self, name):
+        if name.startswith("__"):
+            # dunder probes (copy/pickle/inspect protocols) must not consume
+            # the packed record — materialize only for real field access
+            raise AttributeError(name)
         from ..models.decoder import ModesMessage
 
         dd = object.__getattribute__(self, "__dict__")
         row = dd.pop("_row", None)
-        if row is None or name.startswith("__"):
+        if row is None:
             raise AttributeError(name)
         d = dict(zip(row.dtype.names, row.tolist()))
         d["msg"] = bytes(d["msg"])

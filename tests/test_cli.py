@@ -96,3 +96,60 @@ def test_raw_fast_path_equals_hub_path(modes1_path):
         capture_output=True, env=env, cwd=REPO, timeout=300,
     )
     assert fast.stdout == slow.stdout
+
+
+def test_interactive_rows_defaults_to_terminal():
+    """The reference overrides the 15-row default with getTermRows() at
+    config time (dump1090.c:316, 2781-2785); --interactive-rows overrides."""
+    import pty
+
+    from dump1090_tpu import cli
+
+    # without a tty on stdout, the deterministic fallback is 15
+    assert cli.get_term_rows() == 15 or sys.stdout.isatty()
+
+    # on a pty, the detected height is the pty's winsize
+    import fcntl
+    import struct
+    import termios
+
+    master, slave = pty.openpty()
+    try:
+        fcntl.ioctl(slave, termios.TIOCSWINSZ, struct.pack("HHHH", 37, 80, 0, 0))
+        real_stdout = sys.stdout
+        sys.stdout = os.fdopen(os.dup(slave), "w")
+        try:
+            assert cli.get_term_rows() == 37
+            assert cli.parse_args([]).interactive_rows == 37
+            assert cli.parse_args(["--interactive-rows", "9"]).interactive_rows == 9
+        finally:
+            sys.stdout.close()
+            sys.stdout = real_stdout
+    finally:
+        os.close(master)
+        os.close(slave)
+
+
+def test_sigwinch_rereads_rows_and_redraws(capsys):
+    """sigWinchCallback parity (dump1090.c:2772-2777): on SIGWINCH the row
+    count is re-read and the screen redrawn immediately."""
+    import signal
+
+    from dump1090_tpu import cli
+    from dump1090_tpu.models.tracker import AircraftTracker
+
+    o = cli.parse_args(["--interactive"])
+    o.interactive_rows = 1  # stale value; the handler must replace it
+    tracker = AircraftTracker()
+    old = signal.getsignal(signal.SIGWINCH)
+    try:
+        cli._install_sigwinch(o, tracker)
+        os.kill(os.getpid(), signal.SIGWINCH)
+        import time
+
+        time.sleep(0.05)
+        assert o.interactive_rows == cli.get_term_rows()
+        out = capsys.readouterr().out
+        assert "Flight" in out  # the TUI header was redrawn
+    finally:
+        signal.signal(signal.SIGWINCH, old)

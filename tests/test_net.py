@@ -110,3 +110,42 @@ def test_hex_input_rejects_like_reference():
     # deterministically decode a zero-filled frame (documented divergence)
     mm = decode_hex_message("*;", cache, cfg)
     assert mm is not None and mm.msgtype == 0
+
+
+def test_debug_net_lines_reference_wording(capsys):
+    """--debug n output parity (dump1090.c:2334-2335, 2345-2346, 2569-2592):
+    `Created new client %d` / `Closing client %d` on stdout for every
+    service, plus the HTTP request/keep-alive/URL dump."""
+    import re
+
+    ro, ri, http, sbs = _free_ports(4)
+    net = NetworkServices(
+        NetConfig(ro_port=ro, ri_port=ri, http_port=http, sbs_port=sbs,
+                  bind_host="127.0.0.1", debug_net=True),
+        on_raw_line=lambda line: None,
+        data_json=lambda: "[\n]\n",
+    )
+    net.start()
+    try:
+        c = socket.create_connection(("127.0.0.1", ri), timeout=5)
+        c.sendall(b"*5d4d20237a55a6;\n")
+        c.close()
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{http}/data.json", timeout=5)
+        assert body.read() == b"[\n]\n"
+        deadline = time.time() + 5
+        out = ""
+        while time.time() < deadline:
+            out += capsys.readouterr().out
+            if out.count("Closing client") >= 2 and "HTTP requested URL" in out:
+                break
+            time.sleep(0.02)
+    finally:
+        net.stop()
+    out += capsys.readouterr().out
+    # reference wording, with real fd numbers
+    assert re.search(r"^Created new client \d+$", out, re.M)
+    assert re.search(r"^Closing client \d+$", out, re.M)
+    assert "\nHTTP request: GET /data.json" in out
+    assert "\nHTTP keep alive: 1\n" in out or "\nHTTP keep alive: 0\n" in out
+    assert re.search(r"^HTTP requested URL: /data.json\n$", out, re.M)
