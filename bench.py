@@ -1,19 +1,42 @@
-"""Benchmark: TPU demodulation throughput vs the reference CPU decoder.
+"""Benchmark: sustained end-to-end decode throughput vs the reference CPU.
 
 Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Extra detail goes to stderr.
+  {"metric": "sustained_e2e", "value": N, "unit": "Msamples/s/chip", "vs_baseline": N}
+Component detail goes to stderr.
 
 Baseline (BASELINE.md): the reference C decoder sustains ~72-88 Msamples/s on
 one Xeon core over 60x-concatenated modes1.bin (hot loop dump1090.c:1593-1726
-+ computeMagnitudeVector).  vs_baseline is measured against the best CPU
-figure (88 Msamples/s).
++ computeMagnitudeVector).  vs_baseline is against the best CPU figure
+(88 Msamples/s).
 
-Measurement protocol: the demodulation of a resident batch of reference-
-geometry IQ buffers is looped L times *inside one jitted program* (inputs
-perturbed per iteration so no pass can be cached), and the wall time of the
-single dispatch is divided by L.  This defeats two artifacts of tunneled TPU
-runtimes: block_until_ready returning early, and per-dispatch relay latency.
+What `sustained_e2e` measures
+-----------------------------
+The steady-state rate of the PRODUCT decode path (the CLI's
+--raw --tpu-device-resolve pipeline, models/pipeline.py stream_raw_device):
+
+  uint8 IQ buffers -> magnitude -> preamble scan -> both demod passes ->
+  on-device sequential resolve (CRC/fix/ICAO-cache/skip semantics,
+  ops/resolve.py) -> emitted messages fetched to the host -> `*<hex>;`
+  raw byte stream materialized on the host,
+
+with device compute, device->host transfers, and host formatting genuinely
+overlapped (group g+1 is dispatched before group g is fetched), the ICAO
+cache chained on-device across every batch, and EVERY emitted message
+fetched + formatted.  Wall time is measured across the whole steady-state
+run — nothing is amortized away except program compilation.
+
+Input IQ is resident on the device (uploaded once, W distinct chunks cycled
+round-robin).  Host->device ingest is a property of this harness's tunneled
+runtime (~1.5 GB/s blocking; a production PCIe host moves >10 GB/s), so it
+is measured and reported separately on stderr rather than serialized into
+the headline number.  The strict ingest-bound ceiling (2 bytes/sample over
+the measured H2D rate) is printed alongside.
+
+Measurement pitfalls this protocol avoids (see CLAUDE.md): per-dispatch
+relay latency (~35 ms) is overlapped, not amortized into a fake number;
+block_until_ready returns early on tunneled runtimes (we always fetch real
+results); jnp.zeros inputs constant-fold (we use real modes1.bin traffic,
+the densest known fixture).
 """
 
 import functools
@@ -29,138 +52,195 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 CPU_BASELINE_SAMPLES_PER_S = 88e6
 FIXTURE = Path("/root/reference/testfiles/modes1.bin")
 
+NB = 128        # reference-geometry buffers per batch (16.8 M samples)
+G = 8           # batches chained per dispatch group (one fetch per group)
+W = 2           # distinct resident input groups, cycled
+T = 10          # steady-state groups timed
+MC = 256        # max preamble candidates per buffer (product default)
+MO = 16384      # max emitted messages per batch
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from dump1090_tpu.constants import BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES
+    from dump1090_tpu.constants import (
+        BLOCK_SAMPLES,
+        BUF_SAMPLES,
+        FULL_LEN_SAMPLES,
+        ICAO_CACHE_LEN,
+    )
+    from dump1090_tpu.native import raw_lines_from_fields
+    from dump1090_tpu.ops.resolve import META_LONG, demod_resolve_batch
     from dump1090_tpu.parallel.sharding import demod_batch, overlapping_buffers
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    log(f"device: {dev}")
 
     if FIXTURE.exists():
         raw = np.fromfile(FIXTURE, dtype=np.uint8)
     else:  # synthetic fallback: silence
         raw = np.full(4 * BLOCK_SAMPLES * 2, 127, dtype=np.uint8)
 
-    n_target = 128  # amortizes the runtime's ~1.8 ms fixed per-step overhead
-    reps = max(1, int(np.ceil(n_target * BLOCK_SAMPLES * 2 / len(raw))))
+    # W*G distinct batches: slide a window over the repeated capture so every
+    # batch decodes a different message mix
+    n_bufs_total = W * G * NB
+    reps = int(np.ceil((n_bufs_total + W * G) * BLOCK_SAMPLES * 2 / len(raw)))
     stream = np.concatenate([np.full(476, 127, np.uint8)] + [raw] * reps)
-    bufs = np.asarray(overlapping_buffers(stream))[:n_target]
-    n_buf = bufs.shape[0]
-    new_samples = n_buf * BLOCK_SAMPLES
-    print(f"batch: {n_buf} buffers x {BUF_SAMPLES} samples "
-          f"({new_samples/1e6:.1f} M samples/pass)", file=sys.stderr)
+    bufs = np.asarray(overlapping_buffers(stream))
+    groups_np = [
+        np.stack([
+            bufs[(g * G + k) * NB : (g * G + k) * NB + NB]
+            for k in range(G)
+        ])
+        for g in range(W)
+    ]
 
-    x = jax.device_put(jnp.asarray(bufs))
-    MC = 256  # the product default (PipelineConfig.max_candidates)
+    t0 = time.perf_counter()
+    groups = [jax.device_put(jnp.asarray(x)) for x in groups_np]
+    for x in groups:
+        x.block_until_ready()
+    t_h2d = time.perf_counter() - t0
+    bytes_in = sum(x.nbytes for x in groups_np)
+    h2d_rate = bytes_in / t_h2d
+    log(f"ingest: {bytes_in/1e6:.0f} MB uploaded in {t_h2d*1e3:.0f} ms "
+        f"({h2d_rate/1e9:.2f} GB/s; tunneled runtime — PCIe hosts do >10)")
+
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+    new_per_batch = NB * BLOCK_SAMPLES
+    new_per_group = G * new_per_batch
+
+    @jax.jit
+    def run_group(x, ca, ct):
+        """G chained batches in one program; outputs stacked for ONE fetch."""
+        def body(carry, xb):
+            ca, ct = carry
+            n, count, msg, meta, stats, ca, ct = demod_resolve_batch(
+                xb, ca, ct, 1_700_000_000, True, False,
+                scan_len=scan_len, max_candidates=MC, max_out=MO,
+                crcok_only=True,
+            )
+            return (ca, ct), (n, count, msg, meta, stats)
+        (ca, ct), outs = lax.scan(body, (ca, ct), x)
+        return outs, ca, ct
+
+    ca = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))
+    ct = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))
+
+    t0 = time.perf_counter()
+    outs, ca, ct = run_group(groups[0], ca, ct)
+    _ = jax.device_get(outs[1])
+    log(f"compile+first group: {time.perf_counter()-t0:.1f}s")
+
+    # ---- steady state: dispatch g+1, fetch g, format on a worker thread ----
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(outs):
+        n, count, msg, meta, stats = jax.device_get(list(outs))
+        assert int(n.max()) <= MC and int(count.max()) <= MO, "overflow"
+        return count, msg, meta
+
+    def format_group(fetched) -> tuple[int, bytes]:
+        count, msg, meta = fetched
+        total, out = 0, []
+        for k in range(G):
+            c = int(count[k])
+            total += c
+            bits = np.where(meta[k, :c] & META_LONG, 112, 56)
+            out.append(raw_lines_from_fields(
+                msg[k, :c], bits, np.ones(c, dtype=bool)))
+        return total, b"".join(out)
+
+    pending = None
+    futures = []
+    n_msgs = 0
+    out_bytes = 0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for t in range(T):
+            outs, ca, ct = run_group(groups[t % W], ca, ct)
+            if pending is not None:
+                futures.append(pool.submit(format_group, fetch(pending)))
+            pending = outs
+        futures.append(pool.submit(format_group, fetch(pending)))
+        for f in futures:
+            c, b = f.result()
+            n_msgs += c
+            out_bytes += len(b)
+    wall = time.perf_counter() - t0
+    sustained = T * new_per_group / wall
+    log(f"sustained: {T} groups x {new_per_group/1e6:.1f} M samples in "
+        f"{wall*1e3:.0f} ms -> {sustained/1e6:.0f} Msamples/s "
+        f"({sustained/2e6:.0f}x realtime @2 Msps); {n_msgs} messages, "
+        f"{out_bytes} raw bytes")
+    ingest_bound = h2d_rate / 2
+    log(f"ingest-bound ceiling through this tunnel: {ingest_bound/1e6:.0f} "
+        f"Msamples/s (2 B/sample over measured H2D)")
+
+    # ---- component rates (stderr detail) -----------------------------------
+    x = groups[0][0]
 
     def perturb(x, i):
-        # vary the input each iteration so XLA cannot hoist the pass out of
-        # the loop.  NOTE: a uint8 `x + i` costs ~1.2 ms by itself (sub-byte
-        # VPU ops unpack per element); an int32 add over a bitcast view of
-        # the same bytes is ~10x cheaper and perturbs just as well.
         w = lax.bitcast_convert_type(x.reshape(x.shape[0], -1, 4), jnp.int32)
         return lax.bitcast_convert_type(w + i, jnp.uint8).reshape(x.shape)
 
     @functools.partial(jax.jit, static_argnames=("L",))
-    def looped(x, L):
+    def demod_only(x, L):
         def body(i, acc):
-            cand = demod_batch(
-                perturb(x, i),
-                scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                max_candidates=MC,
-            )
-            # consume EVERY output field: anything not reduced here would be
-            # dead-code-eliminated (the phase-corrected pass in particular)
-            return (
-                acc
-                + cand.n.sum().astype(jnp.float32)
-                + cand.pos.sum().astype(jnp.float32)
-                + cand.msg1.astype(jnp.int32).sum().astype(jnp.float32)
-                + cand.errors1.sum().astype(jnp.float32)
-                + cand.gate1.sum().astype(jnp.float32)
-                + cand.msg2.astype(jnp.int32).sum().astype(jnp.float32)
-                + cand.errors2.sum().astype(jnp.float32)
-                + cand.gate2.sum().astype(jnp.float32)
+            cand = demod_batch(perturb(x, i), scan_len=scan_len,
+                               max_candidates=MC)
+            return acc + sum(
+                f.astype(jnp.int32).sum().astype(jnp.float32) for f in cand
             )
         return lax.fori_loop(0, L, body, jnp.float32(0))
 
-    t0 = time.perf_counter()
-    _ = float(jax.device_get(looped(x, 1)))
-    print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-    # L amortizes the tunneled runtime's fixed dispatch+fetch cost (~35 ms)
-    L = 128
-    _ = float(jax.device_get(looped(x, L)))  # compile the L version
-    best = float("inf")
-    for _ in range(3):
+    L = 64
+    _ = float(jax.device_get(demod_only(x, L)))
+    best = 1e9
+    for _ in range(2):
         t0 = time.perf_counter()
-        _ = float(jax.device_get(looped(x, L)))
+        _ = float(jax.device_get(demod_only(x, L)))
         best = min(best, (time.perf_counter() - t0) / L)
-    sps = new_samples / best
-    print(f"device demod: {best*1e3:.2f} ms/pass -> {sps/1e6:.0f} Msamples/s "
-          f"({sps/2e6:.0f}x realtime @2 Msps)", file=sys.stderr)
+    log(f"device demod only: {best*1e3:.2f} ms/batch -> "
+        f"{new_per_batch/best/1e6:.0f} Msamples/s")
 
-    # host resolve cost (O(candidates)) for context — native C++ runtime,
-    # falling back to the pure-Python resolver if g++ is unavailable
-    from dump1090_tpu.models.decoder import DecoderConfig, DecoderStats, IcaoCache
-    from dump1090_tpu.models.resolver import BlockCandidates, resolve_block
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def fused(x, ca, ct, L):
+        def body(i, carry):
+            ca, ct, acc = carry
+            n, count, msg, meta, stats, ca, ct = demod_resolve_batch(
+                perturb(x, i), ca, ct, 1_700_000_000, True, False,
+                scan_len=scan_len, max_candidates=MC, max_out=MO,
+                crcok_only=True,
+            )
+            acc = (acc + count.astype(jnp.float32)
+                   + n.sum().astype(jnp.float32)
+                   + msg.astype(jnp.int32).sum().astype(jnp.float32)
+                   + meta.sum().astype(jnp.float32)
+                   + stats.sum().astype(jnp.float32))
+            return ca, ct, acc
+        return lax.fori_loop(0, L, body, (ca, ct, jnp.float32(0)))
 
-    try:
-        from dump1090_tpu.native import NativeResolver
-
-        native = NativeResolver()
-        resolver_name = "native C++"
-    except Exception:
-        native = None
-        resolver_name = "pure Python"
-
-    cand = jax.device_get(demod_batch(
-        x, scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES, max_candidates=MC))
-    t0 = time.perf_counter()
-    cache, cfg, stats = IcaoCache(), DecoderConfig(), DecoderStats()
-    msgs = []
-    for b in range(n_buf):
-        one = type(cand)(*[f[b] for f in cand])
-        host = BlockCandidates.from_device(one)
-        if native is not None:
-            native.resolve_block(host, cache, cfg, stats, msgs.append)
-        else:
-            resolve_block(host, cache, cfg, stats, msgs.append)
-    t_resolve = time.perf_counter() - t0
-    n_good = sum(1 for m in msgs if m.crcok)
-    e2e = new_samples / (best + t_resolve)
-    print(f"host resolve ({resolver_name}): {t_resolve*1e3:.0f} ms / {n_buf} "
-          f"buffers, {n_good} messages; effective end-to-end {e2e/1e6:.0f} "
-          f"Msamples/s (resolve overlaps device work in streaming mode)",
-          file=sys.stderr)
-
-    if native is not None:
-        # bulk record path (the CLI's pure --raw mode): the whole batch in
-        # ONE native call, hex lines formatted vectorially
-        from dump1090_tpu.native import records_to_raw_lines
-
-        cache2, stats2 = IcaoCache(), DecoderStats()
-        host = list(cand)
+    L = 16
+    _ = float(jax.device_get(fused(x, ca, ct, L)[2]))
+    best = 1e9
+    for _ in range(2):
         t0 = time.perf_counter()
-        records, counts = native.resolve_blocks_records(
-            host[1:], np.asarray(host[0]), cache2, cfg, stats2)
-        nbytes = len(records_to_raw_lines(records))
-        t_bulk = time.perf_counter() - t0
-        e2e_bulk = new_samples / (best + t_bulk)
-        print(f"bulk raw path: {t_bulk*1e3:.0f} ms / {n_buf} buffers "
-              f"({nbytes} output bytes); end-to-end {e2e_bulk/1e6:.0f} "
-              f"Msamples/s", file=sys.stderr)
+        _ = float(jax.device_get(fused(x, ca, ct, L)[2]))
+        best = min(best, (time.perf_counter() - t0) / L)
+    log(f"device demod+resolve: {best*1e3:.2f} ms/batch -> "
+        f"{new_per_batch/best/1e6:.0f} Msamples/s")
 
     print(json.dumps({
-        "metric": "demod_throughput",
-        "value": round(sps / 1e6, 1),
+        "metric": "sustained_e2e",
+        "value": round(sustained / 1e6, 1),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(sps / CPU_BASELINE_SAMPLES_PER_S, 2),
+        "vs_baseline": round(sustained / CPU_BASELINE_SAMPLES_PER_S, 2),
     }))
 
 

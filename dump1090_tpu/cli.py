@@ -50,6 +50,9 @@ HELP = """\
 --tpu-state-load <file>  Restore tracker/ICAO-cache/stats snapshot at start.
 --tpu-state-save <file>  Save a state snapshot on exit (checkpoint/resume).
 --tpu-backend <name>     JAX platform to use (e.g. cpu, tpu; default: auto).
+--tpu-device-resolve <m> on|off|auto: run the sequential candidate resolver
+                         on the device too (--raw/--stats file decode only;
+                         auto = on for TPU backends).
 
 Debug mode flags: d = Log frames decoded with errors
                   D = Log frames decoded with zero errors
@@ -105,6 +108,7 @@ class Options:
         self.max_candidates = 256
         self.batch: int | None = None   # buffers per device dispatch
         self.backend: str | None = None
+        self.device_resolve = "auto"
         self.profile_dir: str | None = None
         self.state_load: str | None = None
         self.state_save: str | None = None
@@ -190,6 +194,14 @@ def parse_args(argv: list[str]) -> Options:
             o.state_save = nxt()
         elif arg == "--tpu-backend" and more:
             o.backend = nxt()
+        elif arg == "--tpu-device-resolve" and more:
+            o.device_resolve = nxt()
+            if o.device_resolve not in ("on", "off", "auto"):
+                sys.stderr.write(
+                    f"--tpu-device-resolve: expected on|off|auto, got "
+                    f"'{o.device_resolve}'.\n"
+                )
+                raise SystemExit(1)
         elif arg == "--help":
             sys.stdout.write(HELP)
             raise SystemExit(0)
@@ -413,15 +425,34 @@ def main(argv: list[str] | None = None) -> int:
                     _interactive_refresh(tracker, o)
                     last_refresh[0] = now
 
-        # pure --raw with no other consumers: bulk record path (no
-        # per-message Python objects; hex lines formatted vectorially)
+        # pure --raw / --stats with no other consumers: bulk fast paths
+        solo = (
+            not o.interactive and not o.net and not o.onlyaddr
+            and o.check_crc and not o.debug
+        )
+        # fully-fused device path: demod AND the sequential resolve on the
+        # TPU (ops/resolve.py); host only formats hex lines
+        if o.device_resolve == "auto":
+            import jax
+
+            use_dev = jax.default_backend() not in ("cpu",)
+        else:
+            use_dev = o.device_resolve == "on"
+        fast_dev = solo and (o.raw or o.stats) and use_dev
+        # host-resolver bulk path (native C++ runtime, no per-message objects)
         fast_raw = (
-            o.raw and not o.interactive and not o.net and not o.onlyaddr
-            and o.check_crc and not o.stats and not o.debug
+            solo and o.raw and not o.stats and not fast_dev
             and getattr(pipeline, "_native", None) is not None
         )
         try:
-            if fast_raw:
+            if fast_dev:
+                w = sys.stdout.buffer
+                for line in pipeline.stream_raw_device(stream):
+                    # --stats mode emits nothing (hub drops all output)
+                    if line and o.raw and not o.stats:
+                        w.write(line)
+                        w.flush()
+            elif fast_raw:
                 from .native import records_to_raw_lines
 
                 w = sys.stdout.buffer

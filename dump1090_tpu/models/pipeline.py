@@ -78,6 +78,7 @@ class DemodPipeline:
         # working candidate shape; sticky growth on overflow lives on the
         # INSTANCE so a PipelineConfig shared across pipelines is not mutated
         self._mc = self.cfg.max_candidates
+        self._mo = None  # emitted-message shape for the device-resolve path
         self.stats = DecoderStats()
         self.samples_in = 0      # new samples demodulated (throughput meter)
         self.cache = IcaoCache(clock=clock)
@@ -193,6 +194,134 @@ class DemodPipeline:
             pending = work
         if pending is not None:
             yield from self._resolve_batch(pending, emit, drain)
+
+    # ---- fully-fused device path ------------------------------------------
+
+    def stream_raw_device(self, stream: BinaryIO):
+        """Bulk device path: yield `*<hex>;\\n` bytes per batch with BOTH the
+        O(samples) demodulation and the O(candidates) sequential resolve on
+        the device (ops/resolve.py); the host only formats emitted messages.
+
+        The ICAO cache lives on the device between batches and is synced back
+        to this pipeline's host cache at the end of the stream; stats
+        accumulate into self.stats per batch.  Batch k+1 is dispatched from
+        batch k's device-resident output state before k's results are
+        fetched, so device compute, the device->host transfer, and host
+        formatting overlap.  Overflow (preamble count > max_candidates, or
+        emitted count > max_out) is detected by exact counts and retried
+        from the pre-batch state with sticky shape growth."""
+        import itertools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..native import raw_lines_from_fields
+        from ..ops.resolve import META_LONG, demod_resolve_batch
+
+        nb = max(self.cfg.batch_buffers, 1)
+        if self._mo is None:
+            self._mo = max(4096, nb * self._mc // 2)
+        dcfg = self.cfg.decoder
+        ca = jnp.asarray(self.cache.addr.astype(np.int64).astype(np.int32))
+        ct = jnp.asarray(np.clip(self.cache.ts, 0, 2**31 - 1).astype(np.int32))
+
+        def dispatch(x, ca, ct):
+            return demod_resolve_batch(
+                jnp.asarray(x), ca, ct, self.cache.clock(),
+                dcfg.fix_errors, dcfg.aggressive,
+                scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
+                max_candidates=self._mc, max_out=self._mo,
+                crcok_only=True,
+            )
+
+        it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
+        pending = None  # (x, state_before, out)
+        try:
+            while True:
+                bufs = list(itertools.islice(it, nb))
+                if bufs:
+                    n_real = len(bufs)
+                    self.samples_in += n_real * BLOCK_SAMPLES
+                    x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
+                    x[:n_real] = np.stack(bufs)
+                    work = (x, (ca, ct), dispatch(x, ca, ct))
+                    ca, ct = work[2][5], work[2][6]
+                else:
+                    work = None
+                if pending is not None:
+                    done, redo = self._finish_device_batch(pending)
+                    yield done
+                    if redo:  # shapes grew: replay the in-flight batch too
+                        if work is not None:
+                            x, _, _ = work
+                            ca, ct = redo
+                            work = (x, (ca, ct), dispatch(x, ca, ct))
+                            ca, ct = work[2][5], work[2][6]
+                        else:
+                            ca, ct = redo
+                if work is None:
+                    return
+                pending = work
+        finally:
+            # device cache -> host cache (keeps --tpu-state-save and any
+            # later host-side decoding consistent)
+            ca_h, ct_h = jax.device_get([ca, ct])
+            self.cache.addr[:] = ca_h.astype(np.uint32)
+            self.cache.ts[:] = ct_h.astype(np.int64)
+
+    def _finish_device_batch(self, work):
+        """Fetch one device batch's results; returns (raw_bytes, redo_state).
+        redo_state is None normally, or the (cache_addr, cache_ts) state to
+        re-dispatch downstream batches from after an overflow retry."""
+        import jax
+
+        from ..native import raw_lines_from_fields
+        from ..ops.resolve import META_LONG, demod_resolve_batch
+
+        x, state_before, out = work
+        n, count, msg, meta, stats, _, _ = out
+        # ONE transfer for everything the host needs
+        n_h, count_h, msg_h, meta_h, stats_h = jax.device_get(
+            [n, count, msg, meta, stats]
+        )
+        redo = None
+        while int(n_h.max(initial=0)) > self._mc or int(count_h) > self._mo:
+            # grow the overflowing shape(s) and replay from the pre-batch
+            # state (exact counts make overflow loud, never silent)
+            if int(n_h.max(initial=0)) > self._mc:
+                while self._mc < int(n_h.max()):
+                    self._mc *= 4
+            if int(count_h) > self._mo:
+                while self._mo < int(count_h):
+                    self._mo *= 4
+            ca0, ct0 = state_before
+            import jax.numpy as jnp
+
+            from ..constants import BUF_SAMPLES as _BS, FULL_LEN_SAMPLES as _FL
+
+            out = demod_resolve_batch(
+                jnp.asarray(x), ca0, ct0, self.cache.clock(),
+                self.cfg.decoder.fix_errors, self.cfg.decoder.aggressive,
+                scan_len=_BS - _FL, max_candidates=self._mc, max_out=self._mo,
+                crcok_only=True,
+            )
+            n, count, msg, meta, stats, ca1, ct1 = out
+            n_h, count_h, msg_h, meta_h, stats_h = jax.device_get(
+                [n, count, msg, meta, stats]
+            )
+            redo = (ca1, ct1)
+        c = int(count_h)
+        for name, d in zip(
+            ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
+             "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
+            stats_h.tolist(),
+        ):
+            setattr(self.stats, name, getattr(self.stats, name) + d)
+        bits = np.where(meta_h[:c] & META_LONG, 112, 56)
+        return (
+            raw_lines_from_fields(msg_h[:c], bits, np.ones(c, dtype=bool)),
+            redo,
+        )
 
     def stream_records(self, stream: BinaryIO):
         """Bulk fast path: yield one packed native Record array per buffer,

@@ -1,0 +1,284 @@
+"""On-device resolver tests (ops/resolve.py) — differential against the host
+oracle (models/resolver.py) and the reference goldens.
+
+Contract under test: detectModeS candidate resolution + decodeModesMessage
+CRC/cache semantics (dump1090.c:1563-1793, 1091-1209) executed entirely on
+the device: vectorized syndromes/fix/brute-force + the sequential
+skip/ICAO-cache state machine (lax.scan fallback here on CPU; the Pallas
+kernel is covered in interpret mode and, with DUMP1090_TEST_TPU=1, for real).
+"""
+
+import numpy as np
+import pytest
+
+from dump1090_tpu.constants import (
+    BUF_SAMPLES,
+    FULL_LEN_SAMPLES,
+    ICAO_CACHE_LEN,
+)
+from dump1090_tpu.models.decoder import DecoderConfig, DecoderStats, IcaoCache
+from dump1090_tpu.models.resolver import BlockCandidates, resolve_block
+from dump1090_tpu.ops.resolve import (
+    META_CRCOK,
+    META_LONG,
+    META_PASS,
+    META_PHASE,
+    META_POS_SHIFT,
+    demod_resolve_batch,
+    icao_hash,
+)
+
+SCAN = BUF_SAMPLES - FULL_LEN_SAMPLES
+NOW = 1_700_000_000
+
+
+def _modes1_buffers(modes1_path):
+    from dump1090_tpu.parallel.sharding import overlapping_buffers
+
+    raw = np.fromfile(modes1_path, dtype=np.uint8)
+    stream = np.concatenate([np.full(476, 127, np.uint8), raw])
+    return np.asarray(overlapping_buffers(stream))
+
+
+def _device_resolve(bufs, *, fix=True, aggressive=False, crcok_only=True,
+                    max_out=2048, state=None, pallas=False):
+    import jax
+    import jax.numpy as jnp
+
+    if state is None:
+        state = (
+            jnp.zeros(ICAO_CACHE_LEN, jnp.int32),
+            jnp.zeros(ICAO_CACHE_LEN, jnp.int32),
+        )
+    n, count, msg, meta, stats, ca, ct = demod_resolve_batch(
+        jnp.asarray(bufs), state[0], state[1], NOW, fix, aggressive,
+        scan_len=SCAN, max_candidates=256, max_out=max_out,
+        crcok_only=crcok_only, pallas=pallas,
+    )
+    n, count, msg, meta, stats = jax.device_get([n, count, msg, meta, stats])
+    c = int(count)
+    assert c <= max_out and int(n.max()) <= 256
+    return n, meta[:c], msg[:c], stats, (ca, ct)
+
+
+def _host_resolve(bufs, *, fix=True, aggressive=False):
+    import jax
+
+    from dump1090_tpu.parallel.sharding import demod_batch
+
+    cand = jax.device_get(
+        demod_batch(bufs, scan_len=SCAN, max_candidates=256)
+    )
+    cache = IcaoCache(clock=lambda: NOW)
+    cfg = DecoderConfig(fix_errors=fix, aggressive=aggressive)
+    stats = DecoderStats()
+    msgs = []
+    for b in range(bufs.shape[0]):
+        one = type(cand)(*[f[b] for f in cand])
+        resolve_block(
+            BlockCandidates.from_device(one), cache, cfg, stats, msgs.append
+        )
+    return msgs, stats, cache
+
+
+def _assert_matches_host(meta, msg, stats, host_msgs, host_stats):
+    assert len(host_msgs) == len(meta)
+    for i, mm in enumerate(host_msgs):
+        assert bytes(msg[i]) == mm.msg
+        assert bool(meta[i] & META_CRCOK) == mm.crcok
+        assert bool(meta[i] & META_PHASE) == mm.phase_corrected
+        assert (112 if meta[i] & META_LONG else 56) == mm.msgbits
+    got = [int(x) for x in stats]
+    want = [host_stats.valid_preamble, host_stats.out_of_phase,
+            host_stats.demodulated, host_stats.goodcrc, host_stats.badcrc,
+            host_stats.fixed, host_stats.single_bit_fix,
+            host_stats.two_bits_fix]
+    assert got == want
+
+
+def test_golden_raw_and_stats(modes1_path, golden_dir):
+    """Full modes1 through the device resolver == the reference's --raw
+    stream and --stats counters, byte for byte."""
+    from dump1090_tpu.native import raw_lines_from_fields
+
+    bufs = _modes1_buffers(modes1_path)
+    _, meta, msg, stats, _ = _device_resolve(bufs)
+    lines = raw_lines_from_fields(
+        msg, np.where(meta & META_LONG, 112, 56), np.ones(len(meta), bool)
+    )
+    assert lines == (golden_dir / "golden_raw.txt").read_bytes()
+    assert [int(x) for x in stats] == [415, 216, 407, 211, 196, 6, 12, 0]
+
+
+@pytest.mark.parametrize("fix,aggressive", [(True, False), (False, False), (True, True)])
+def test_emit_all_matches_host_oracle(modes1_path, fix, aggressive):
+    """Every emitted message (including bad-CRC ones), in order, with the
+    exact msg bytes / crcok / phase flags / stats — vs models/resolver.py."""
+    bufs = _modes1_buffers(modes1_path)
+    _, meta, msg, stats, _ = _device_resolve(
+        bufs, fix=fix, aggressive=aggressive, crcok_only=False
+    )
+    host_msgs, host_stats, _ = _host_resolve(bufs, fix=fix, aggressive=aggressive)
+    _assert_matches_host(meta, msg, stats, host_msgs, host_stats)
+
+
+def test_cross_batch_cache_state(modes1_path):
+    """Buffer-at-a-time batches chained through the device cache state must
+    equal one batch of all buffers (the cache is the only cross-buffer
+    coupling, dump1090.c:896-983)."""
+    bufs = _modes1_buffers(modes1_path)
+    _, meta_all, msg_all, stats_all, _ = _device_resolve(bufs, crcok_only=False)
+
+    state = None
+    metas, msgs, stats_sum = [], [], np.zeros(8, np.int64)
+    for b in range(bufs.shape[0]):
+        _, meta, msg, stats, state = _device_resolve(
+            bufs[b : b + 1], crcok_only=False, state=state
+        )
+        metas.append(meta)
+        msgs.append(msg)
+        stats_sum += np.asarray(stats, dtype=np.int64)
+    meta_cat = np.concatenate(metas)
+    msg_cat = np.concatenate(msgs)
+    assert np.array_equal(meta_cat, meta_all)
+    assert np.array_equal(msg_cat, msg_all)
+    assert np.array_equal(stats_sum, np.asarray(stats_all, dtype=np.int64))
+    # and the final device cache equals the host replay's cache
+    _, _, host_cache = _host_resolve(bufs)
+    import jax
+
+    ca, ct = jax.device_get(list(state))
+    assert np.array_equal(ca.astype(np.uint32), host_cache.addr)
+    nz = host_cache.ts != 0
+    assert np.array_equal(ct[nz], host_cache.ts[nz])
+
+
+def test_icao_hash_matches_reference():
+    import jax
+
+    rng = np.random.default_rng(7)
+    addrs = np.concatenate([
+        rng.integers(0, 1 << 24, 256).astype(np.int32),
+        np.array([0, 1, 0xFFFFFF], dtype=np.int32),
+    ])
+    got = jax.device_get(jax.jit(icao_hash)(addrs))
+    want = [IcaoCache.hash(int(a)) for a in addrs]
+    assert got.tolist() == want
+
+
+def test_device_fix_matches_host_fix():
+    """Vectorized dense-table fixBitErrors vs the host implementation on
+    frames with 0/1/2 flipped bits (both frame lengths, both maxfix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.ops import crc as crc_ops
+    from dump1090_tpu.ops.resolve import fix_candidates
+    from dump1090_tpu.utils.synth import make_df17_frame
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for k in range(200):
+        f = np.frombuffer(
+            make_df17_frame(int(rng.integers(0, 1 << 24)), metype=4,
+                            me_payload=bytes(rng.integers(0, 256, 6).tolist())),
+            dtype=np.uint8,
+        ).copy()
+        nflip = int(rng.integers(0, 3))
+        for p in rng.choice(112, nflip, replace=False):
+            f[p >> 3] ^= 1 << (7 - (p & 7))
+        frames.append(f)
+    # short frames too: random 7-byte bodies zero-padded
+    for k in range(100):
+        f = np.zeros(14, np.uint8)
+        f[:7] = rng.integers(0, 256, 7, dtype=np.uint8)
+        f[0] = (11 << 3) | (f[0] & 7)  # DF11 so the fixer engages
+        frames.append(f)
+    msgs = np.stack(frames)
+
+    for maxfix in (1, 2):
+        msgtype = msgs[:, 0] >> 3
+        is_long = (msgtype >= 16) & (msgtype <= 21)
+        bits = np.where(is_long, 112, 56)
+        syn = np.array([
+            crc_ops.checksum(m, int(b)) for m, b in zip(msgs, bits)
+        ], dtype=np.int32)
+        want_fix = (syn != 0) & np.isin(msgtype, (11, 17, 18))
+        fixed_msgs, errorbit, nfix = jax.device_get(
+            jax.jit(fix_candidates)(
+                jnp.asarray(msgs), jnp.asarray(syn), jnp.asarray(bits),
+                jnp.asarray(want_fix), jnp.int32(maxfix),
+            )
+        )
+        for i in range(len(msgs)):
+            m_host = msgs[i].copy()
+            if want_fix[i]:
+                fixed = crc_ops.fix_bit_errors(m_host, int(bits[i]), maxfix)
+            else:
+                fixed = []
+            assert bytes(fixed_msgs[i]) == bytes(m_host), i
+            assert int(errorbit[i]) == (fixed[0] if fixed else -1), i
+            assert int(nfix[i]) == len(fixed), i
+
+
+def test_pallas_kernel_interpret_matches_xla(modes1_path):
+    """The Pallas scan kernel (interpret mode) against the lax.scan backend
+    on real candidates."""
+    bufs = _modes1_buffers(modes1_path)[:1]
+    import jax
+    import jax.numpy as jnp
+
+    import dump1090_tpu.ops.resolve as R
+    from dump1090_tpu.parallel.sharding import demod_batch
+
+    cand = demod_batch(jnp.asarray(bufs), scan_len=SCAN, max_candidates=256)
+    nb, mc = cand.pos.shape
+    n_flat = nb * mc
+    flat = lambda a: a.reshape((n_flat,) + a.shape[2:])  # noqa: E731
+    fe, ag = jnp.asarray(True), jnp.asarray(False)
+    w1, _, _ = R._pass_precompute(
+        flat(cand.msg1), flat(cand.errors1), flat(cand.gate1), ag, fe
+    )
+    w2, _, _ = R._pass_precompute(
+        flat(cand.msg2), flat(cand.errors2), flat(cand.gate2), ag, fe
+    )
+    slot = jnp.arange(n_flat, dtype=jnp.int32)
+    valid = (slot % mc) < jnp.repeat(jnp.minimum(cand.n, mc), mc)
+    pf = (
+        jnp.minimum(flat(cand.pos), R.PF_POS_MASK)
+        | valid.astype(jnp.int32) * R.PF_VALID
+        | ((slot % mc) == 0).astype(jnp.int32) * R.PF_NEWBUF
+        | flat(cand.gate1).astype(jnp.int32) * R.PF_GATE1
+    )
+    ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    w_x, ca_x, ct_x = R._resolve_words_xla(pf, w1, w2, ca, ct, jnp.int32(NOW))
+    w_p, ca_p, ct_p = R._resolve_words_pallas(
+        pf, w1, w2, ca, ct, jnp.int32(NOW), interpret=True
+    )
+    assert np.array_equal(np.asarray(w_x), np.asarray(w_p))
+    assert np.array_equal(np.asarray(ca_x), np.asarray(ca_p))
+    assert np.array_equal(np.asarray(ct_x), np.asarray(ct_p))
+
+
+def test_pipeline_stream_raw_device(modes1_path, golden_dir):
+    """Product path: DemodPipeline.stream_raw_device == golden raw stream,
+    stats exact, and overflow retry (tiny max_out) reproduces it too."""
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    golden = (golden_dir / "golden_raw.txt").read_bytes()
+
+    p = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
+    with open(modes1_path, "rb") as f:
+        out = b"".join(p.stream_raw_device(f))
+    assert out == golden
+    assert (p.stats.valid_preamble, p.stats.goodcrc, p.stats.fixed) == (415, 211, 6)
+    # device cache synced back to the host cache object
+    assert (p.cache.addr != 0).any()
+
+    p2 = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
+    p2._mo = 64  # force emitted-count overflow -> retry with sticky growth
+    with open(modes1_path, "rb") as f:
+        out2 = b"".join(p2.stream_raw_device(f))
+    assert out2 == golden
+    assert p2._mo >= 256
