@@ -189,3 +189,113 @@ def _resolve_rows(work, states, dcfg, mc_box) -> None:
             st.resolver.resolve_block(bc, st.cache, dcfg, st.stats, st.messages.append)
         else:
             resolve_block(bc, st.cache, dcfg, st.stats, st.messages.append)
+
+
+def decode_capture_sharded(
+    capture,
+    *,
+    mesh=None,
+    sp: int | None = None,
+    config: DecoderConfig | None = None,
+    crcok_only: bool = False,
+    max_candidates: int = 128,
+    stats: DecoderStats | None = None,
+    cache: IcaoCache | None = None,
+    emit=None,
+    progress: dict | None = None,
+) -> list[ModesMessage]:
+    """Decode ONE long capture with each buffer's timeline sharded over a
+    device mesh — the multi-chip path for a single stream (SURVEY §2.5:
+    overlap-save halo exchange via jax.lax.ppermute on the "sp" axis, with
+    reference buffers batched on the "dp" axis).
+
+    Bit-identical to `decode_capture`: rows are the reference's overlapping
+    256 KiB buffers (so the per-buffer scan-range and skip/retry semantics of
+    dump1090.c:1593/2968-2990 are preserved exactly), each row's scan range
+    [0, SCAN_POSITIONS) is owned by sp shards with 240-sample halos, and the
+    merged candidate stream is replayed sequentially on the host in buffer
+    order against one ICAO cache.
+
+    mesh: a jax.sharding.Mesh with ("dp", "sp") axes; default = all devices
+    on the sp axis (sp= overrides).  emit: optional callback invoked with
+    every message in stream order (in addition to the returned list).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from .io.sources import iq_buffers
+    from .ops.magnitude import magnitude_from_iq
+    from .parallel.sharding import HALO, make_sharded_demod, merge_sharded_rows
+
+    if mesh is None:
+        devices = np.asarray(jax.devices())
+        sp = sp or devices.size
+        dp = devices.size // sp
+        mesh = Mesh(devices[: dp * sp].reshape(dp, sp), ("dp", "sp"))
+    dp_n, sp_n = mesh.shape["dp"], mesh.shape["sp"]
+    shard_samples = -(-SCAN_POSITIONS // sp_n)
+    total = sp_n * shard_samples  # padded timeline (scan clipped by mask)
+
+    fn = make_sharded_demod(
+        mesh, shard_samples=shard_samples, max_candidates=max_candidates,
+        scan_total=SCAN_POSITIONS, with_tail=True,
+    )
+    mag_j = jax.jit(jax.vmap(magnitude_from_iq))
+
+    dcfg = config or DecoderConfig()
+    cache = cache if cache is not None else IcaoCache()
+    st = stats if stats is not None else DecoderStats()
+    out: list[ModesMessage] = []
+
+    def sink(mm):
+        out.append(mm)
+        if emit is not None:
+            emit(mm)
+
+    try:
+        from .native import NativeResolver
+
+        resolver = NativeResolver().resolve_block
+    except Exception:
+        resolver = resolve_block
+
+    stream = _as_stream(capture)
+    try:
+        import itertools
+
+        it = iq_buffers(stream)
+        while True:
+            bufs = list(itertools.islice(it, dp_n))
+            if not bufs:
+                break
+            n_real = len(bufs)
+            if progress is not None:
+                from .constants import BLOCK_SAMPLES
+
+                progress["samples"] = (
+                    progress.get("samples", 0) + n_real * BLOCK_SAMPLES
+                )
+            x = np.full((dp_n, bufs[0].shape[0]), 127, dtype=np.uint8)
+            x[:n_real] = np.stack(bufs)
+            m = np.asarray(mag_j(jnp.asarray(x)), dtype=np.int32)
+            m_pad = np.zeros((dp_n, total + HALO), dtype=np.int32)
+            m_pad[:, : m.shape[1]] = m[:, : total + HALO]
+            mm_main = jax.device_put(
+                m_pad[:, :total], NamedSharding(mesh, P("dp", "sp"))
+            )
+            tail = jax.device_put(
+                np.ascontiguousarray(m_pad[:, total : total + HALO]),
+                NamedSharding(mesh, P("dp", None)),
+            )
+            cand = fn(mm_main, tail)
+            for r, (n, bc) in enumerate(merge_sharded_rows(cand, SCAN_POSITIONS)):
+                if r >= n_real:
+                    break
+                resolver(bc, cache, dcfg, st, sink)
+    finally:
+        if stream is not capture:
+            stream.close()
+    if crcok_only:
+        return [m for m in out if m.crcok]
+    return out

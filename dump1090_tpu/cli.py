@@ -53,6 +53,9 @@ HELP = """\
 --tpu-device-resolve <m> on|off|auto: run the sequential candidate resolver
                          on the device too (--raw/--stats file decode only;
                          auto = on for TPU backends).
+--tpu-shard-time <n>     Shard each buffer's timeline over <n> devices with
+                         overlap-save halo exchange (multi-chip decode of
+                         one stream; bit-identical to the unsharded path).
 
 Debug mode flags: d = Log frames decoded with errors
                   D = Log frames decoded with zero errors
@@ -109,6 +112,7 @@ class Options:
         self.batch: int | None = None   # buffers per device dispatch
         self.backend: str | None = None
         self.device_resolve = "auto"
+        self.shard_time: int | None = None
         self.profile_dir: str | None = None
         self.state_load: str | None = None
         self.state_save: str | None = None
@@ -194,6 +198,8 @@ def parse_args(argv: list[str]) -> Options:
             o.state_save = nxt()
         elif arg == "--tpu-backend" and more:
             o.backend = nxt()
+        elif arg == "--tpu-shard-time" and more:
+            o.shard_time = int(nxt())
         elif arg == "--tpu-device-resolve" and more:
             o.device_resolve = nxt()
             if o.device_resolve not in ("on", "off", "auto"):
@@ -445,7 +451,19 @@ def main(argv: list[str] | None = None) -> int:
             and getattr(pipeline, "_native", None) is not None
         )
         try:
-            if fast_dev:
+            if o.shard_time:
+                # multi-chip single-stream decode: timeline sharded over the
+                # sp mesh axis with ppermute halo exchange (SURVEY §2.5)
+                from .api import decode_capture_sharded
+
+                progress = {"samples": 0}
+                decode_capture_sharded(
+                    stream, sp=o.shard_time, config=dcfg, stats=stats,
+                    cache=cache, emit=on_message,
+                    max_candidates=o.max_candidates, progress=progress,
+                )
+                pipeline.samples_in = progress["samples"]
+            elif fast_dev:
                 w = sys.stdout.buffer
                 for line in pipeline.stream_raw_device(stream):
                     # --stats mode emits nothing (hub drops all output)

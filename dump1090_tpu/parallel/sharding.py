@@ -92,15 +92,20 @@ def demod_batch(
     return Candidates(n, pos, *outs)
 
 
-def _shard_demod_body(m_local: jax.Array, axis: str, scan_per_shard: int,
-                      max_candidates: int):
+def _shard_demod_body(m_local: jax.Array, tail: jax.Array, axis: str,
+                      scan_per_shard: int, max_candidates: int,
+                      scan_total: int | None):
     """Per-shard body for time-sharded demod.
 
     m_local: int32[B_loc, T] — a batch of channel rows (the batch dim may
     itself be sharded over a "dp" mesh axis; collectives below only move data
-    along the time axis `axis`).  Exchanges halos over ICI, scans the owned
-    positions [idx*T, (idx+1)*T) of every row, and returns local candidates
-    with stream-global positions."""
+    along the time axis `axis`).  tail: int32[B_loc, HALO] — the real samples
+    following the sharded timeline (a reference buffer extends 240 samples
+    past its last scan position, dump1090.c:1593); replicated along `axis`,
+    consumed as the LAST shard's right halo.  Exchanges halos over ICI, scans
+    the owned positions [idx*T, (idx+1)*T) of every row (clipped to
+    scan_total when given), and returns local candidates with stream-global
+    positions."""
     idx = lax.axis_index(axis)
     n_shards = lax.axis_size(axis)
 
@@ -116,15 +121,21 @@ def _shard_demod_body(m_local: jax.Array, axis: str, scan_per_shard: int,
         m_local[:, -1:], axis,
         perm=[(j, (j + 1) % n_shards) for j in range(n_shards)],
     )
-    # the ring wraps: the first shard's left halo and the last shard's right
-    # halo are silence, like the reference's initial 127-filled carry region
+    # the ring wraps: the first shard's left halo is silence (like the
+    # reference's initial 127-filled carry region) and the last shard's
+    # right halo is the row's real post-scan tail
     left_halo = jnp.where(idx == 0, jnp.zeros_like(left_halo), left_halo)
-    right_halo = jnp.where(idx == n_shards - 1, jnp.zeros_like(right_halo), right_halo)
+    right_halo = jnp.where(idx == n_shards - 1, tail, right_halo)
 
     m_ext = jnp.concatenate([left_halo, m_local, right_halo], axis=1)  # [B,1+T+240]
 
     def row(m_row):
         mask = preamble_mask(m_row[1:], scan_per_shard)
+        if scan_total is not None:
+            # positions past the true scan range (timeline padding) are not
+            # scan positions; mask them out of counts and compaction
+            owned = idx * scan_per_shard + lax.iota(jnp.int32, scan_per_shard)
+            mask = mask & (owned < scan_total)
         n = mask.sum().astype(jnp.int32).reshape(1)
         pos = compact_positions(mask, max_candidates, scan_per_shard)
         m_u16 = m_row.astype(jnp.uint16)
@@ -133,7 +144,7 @@ def _shard_demod_body(m_local: jax.Array, axis: str, scan_per_shard: int,
             w = lax.dynamic_slice_in_dim(m_u16, p, WINDOW)
             # the pos>0 phase-correction rule (dump1090.c:1658-1663) applies
             # to the *stream-global* position: only the very first sample of
-            # the capture has no left neighbor
+            # the timeline has no left neighbor
             return candidate_passes_window(
                 w.astype(jnp.int32), idx * scan_per_shard + p
             )
@@ -148,12 +159,16 @@ def _shard_demod_body(m_local: jax.Array, axis: str, scan_per_shard: int,
 
 
 def make_sharded_demod(mesh: Mesh, *, shard_samples: int, max_candidates: int = 512,
-                       time_axis: str = "sp", batch_axis: str | None = "dp"):
+                       time_axis: str = "sp", batch_axis: str | None = "dp",
+                       scan_total: int | None = None, with_tail: bool = False):
     """Build a jitted, mesh-sharded demod over `mesh`.
 
     Input: int32 magnitude [B, n_sp * shard_samples] sharded (batch_axis,
-    time_axis).  Output: per-shard Candidates with stream-global positions,
-    sharded the same way."""
+    time_axis) — plus, when with_tail, int32 [B, HALO] of real samples
+    following the timeline (the reference buffer's post-scan region).
+    Output: per-shard Candidates with stream-global positions, sharded the
+    same way.  scan_total clips the owned scan range when the timeline is
+    padded to a multiple of the shard count."""
     from jax.experimental.shard_map import shard_map
 
     body = functools.partial(
@@ -161,15 +176,31 @@ def make_sharded_demod(mesh: Mesh, *, shard_samples: int, max_candidates: int = 
         axis=time_axis,
         scan_per_shard=shard_samples,
         max_candidates=max_candidates,
+        scan_total=scan_total,
     )
     spec_in = P(batch_axis, time_axis)
+    spec_tail = P(batch_axis, None)  # replicated along the time axis
     out_p = P(batch_axis, time_axis)
     spec_out = Candidates(
         n=out_p, pos=out_p, msg1=out_p, errors1=out_p, gate1=out_p,
         msg2=out_p, errors2=out_p, gate2=out_p,
     )
-    fn = shard_map(body, mesh=mesh, in_specs=spec_in, out_specs=spec_out)
-    return jax.jit(fn)
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec_in, spec_tail), out_specs=spec_out
+    )
+    if with_tail:
+        return jax.jit(fn)
+    return jax.jit(lambda m: fn(m, jnp.zeros((m.shape[0], HALO), m.dtype)))
+
+
+def merge_sharded_rows(cand: Candidates, scan_total: int):
+    """Multi-row form of merge_sharded_candidates: host-side merge of EVERY
+    channel row's per-shard candidates, in row order.  Returns a list of
+    (n_candidates, BlockCandidates) — one per row."""
+    n_rows = np.asarray(cand.n).shape[0]
+    return [
+        merge_sharded_candidates(cand, scan_total, row=r) for r in range(n_rows)
+    ]
 
 
 def merge_sharded_candidates(cand: Candidates, scan_total: int, row: int = 0):

@@ -180,3 +180,34 @@ def test_sharded_merge_resolves_to_messages(modes1_path):
     assert sa == sb
     assert [x.msg for x in a] == [x.msg for x in b]
     assert len(a) > 0
+
+
+@needs_8
+def test_decode_capture_sharded_bit_identical(modes1_path, golden_dir):
+    """The productized multi-chip path (api.decode_capture_sharded, CLI
+    --tpu-shard-time): reference buffers on dp, per-buffer timeline sharded
+    over sp with halo exchange + real-tail halo, host merge + sequential
+    resolve.  Must be bit-identical to the unsharded pipeline: same message
+    stream (golden 217 usable), same stats."""
+    from dump1090_tpu.api import decode_capture, decode_capture_sharded
+    from dump1090_tpu.models.decoder import DecoderStats
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    st = DecoderStats()
+    sharded = decode_capture_sharded(str(modes1_path), mesh=mesh, stats=st)
+    unsharded = decode_capture(str(modes1_path))
+    assert [(m.msg, m.crcok, m.phase_corrected) for m in sharded] == [
+        (m.msg, m.crcok, m.phase_corrected) for m in unsharded
+    ]
+    lines = [f"*{m.msg[:m.msgbits // 8].hex()};" for m in sharded if m.crcok]
+    golden = (golden_dir / "golden_raw.txt").read_text().split()
+    assert lines == golden
+    assert (st.valid_preamble, st.out_of_phase, st.demodulated, st.goodcrc,
+            st.badcrc, st.fixed) == (415, 216, 407, 211, 196, 6)
+
+
+def test_shard_time_flag_parses():
+    from dump1090_tpu.cli import parse_args
+
+    assert parse_args(["--tpu-shard-time", "8"]).shard_time == 8
+    assert parse_args([]).shard_time is None
