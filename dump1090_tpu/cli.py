@@ -401,16 +401,43 @@ def main(argv: list[str] | None = None) -> int:
                     last_refresh = time.time()
             return 0  # unreachable
 
+        sdr = None
         if o.filename is None:
-            sys.stderr.write(
-                "No RTL-SDR device support in dump1090-tpu: provide --ifile "
-                "(use '-' for stdin) or --net-only.\n"
+            # live RTL-SDR capture (modesInitRTLSDR, dump1090.c:385-434):
+            # bind librtlsdr at runtime; degrade cleanly when absent
+            from .io.rtlsdr import RtlSdrError, RtlSdrSource, RtlSdrUnavailable
+
+            try:
+                sdr = RtlSdrSource(
+                    dev_index=o.dev_index, gain=o.gain,
+                    enable_agc=o.enable_agc, freq=o.freq, ppm=o.ppm,
+                )
+            except RtlSdrUnavailable as e:
+                sys.stderr.write(
+                    f"No RTL-SDR support on this host ({e}): provide "
+                    "--ifile (use '-' for stdin) or --net-only.\n"
+                )
+                return 1
+            except RtlSdrError:
+                return 1  # enumeration/open error already printed, like exit(1)
+
+            from .models.pipeline import DemodPipeline, PipelineConfig
+            from .utils.debug import DebugFlags
+
+            pipeline = DemodPipeline(
+                PipelineConfig(
+                    decoder=dcfg, max_candidates=o.max_candidates,
+                    batch_buffers=1,  # 65 ms latency per device dispatch
+                ),
+                debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
+                lock=state_lock,
             )
-            return 1
+            stats, cache = pipeline.stats, pipeline.cache
+            hub.stats = stats
 
         from .io.sources import open_iq_source
 
-        stream = open_iq_source(o.filename)
+        stream = open_iq_source(o.filename) if o.filename else None
         last_refresh = [0.0]
         t_start = time.time()
         profiler_cm = None
@@ -432,8 +459,9 @@ def main(argv: list[str] | None = None) -> int:
                     last_refresh[0] = now
 
         # pure --raw / --stats with no other consumers: bulk fast paths
+        # (file decode only; live SDR uses the low-latency streaming path)
         solo = (
-            not o.interactive and not o.net and not o.onlyaddr
+            sdr is None and not o.interactive and not o.net and not o.onlyaddr
             and o.check_crc and not o.debug
         )
         # fully-fused device path: demod AND the sequential resolve on the
@@ -451,7 +479,9 @@ def main(argv: list[str] | None = None) -> int:
             and getattr(pipeline, "_native", None) is not None
         )
         try:
-            if o.shard_time:
+            if sdr is not None:
+                pipeline.run_source(sdr.buffers(), on_message)
+            elif o.shard_time:
                 # multi-chip single-stream decode: timeline sharded over the
                 # sp mesh axis with ppermute halo exchange (SURVEY §2.5)
                 from .api import decode_capture_sharded
@@ -494,7 +524,9 @@ def main(argv: list[str] | None = None) -> int:
                     f"# {ns/1e6:.1f} Msamples in {dt:.2f}s = "
                     f"{ns/dt/1e6:.1f} Msamples/s ({ns/dt/2e6:.0f}x realtime)\n"
                 )
-            if stream is not sys.stdin.buffer:
+            if sdr is not None:
+                sdr.close()
+            if stream is not None and stream is not sys.stdin.buffer:
                 stream.close()
     except KeyboardInterrupt:
         return 0

@@ -138,6 +138,21 @@ class DemodPipeline:
         for _ in self._stream(stream, emit):
             pass
 
+    def run_source(self, buffers, emit: Callable[[ModesMessage], None]) -> None:
+        """Decode an iterable of pre-framed uint8[BUF_BYTES] buffers (e.g. a
+        live io.rtlsdr.RtlSdrSource) — the single-buffer low-latency path:
+        buffer N+1's device work is enqueued while N resolves on the host,
+        like the reference's reader/decoder thread pair."""
+        pending = None
+        for buf in buffers:
+            self.samples_in += BLOCK_SAMPLES
+            work = self._demod(buf)  # enqueued asynchronously by JAX
+            if pending is not None:
+                self._resolve(pending, emit)
+            pending = work
+        if pending is not None:
+            self._resolve(pending, emit)
+
     def messages(self, stream: BinaryIO) -> Iterator[ModesMessage]:
         out: list[ModesMessage] = []
         yield from self._stream(stream, out.append, out)
