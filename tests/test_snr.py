@@ -1,0 +1,93 @@
+"""Sensitivity parity pinned in CI: decode rate vs SNR against the reference
+binary (tools/snr_sweep.py is the full-sweep tool; this is the 3-point gate
+so the curve cannot regress silently).
+
+For each SNR a batch of known DF17 frames is modulated with AWGN and random
+carrier phase (utils/synth.py) and BOTH decoders see the identical byte
+stream — any difference is decoder sensitivity, not luck.  Because the
+demodulator is a bit-exact reimplementation, the assertion is stronger than
+rate equality: the exact set of recovered planted frames must match.
+
+The reference binary is built out-of-tree with a stubbed rtl-sdr.h (same
+recipe as tools/make_goldens.sh); skipped when no reference source or
+compiler is available.
+"""
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+
+@pytest.fixture(scope="module")
+def ref_binary(tmp_path_factory):
+    prebuilt = Path("/tmp/refbuild/dump1090")
+    if prebuilt.exists():
+        return prebuilt
+    ref = Path("/root/reference")
+    if not (ref / "dump1090.c").exists() or shutil.which("gcc") is None:
+        pytest.skip("reference source or gcc unavailable")
+    build = tmp_path_factory.mktemp("refbuild")
+    # stubbed rtl-sdr.h: the --ifile path never touches the device (same
+    # recipe as tools/make_goldens.sh)
+    (build / "rtl-sdr.h").write_text(
+        "#include <stdint.h>\n"
+        "typedef struct rtlsdr_dev rtlsdr_dev_t;\n"
+        "typedef void (*rtlsdr_read_async_cb_t)"
+        "(unsigned char*, uint32_t, void*);\n"
+        + "".join(
+            f"static inline int {fn} {{ return {ret}; }}\n"
+            for fn, ret in [
+                ("rtlsdr_get_device_count(void)", "0"),
+                ("rtlsdr_get_device_usb_strings(uint32_t i, char*v, char*p, char*s)", "-1"),
+                ("rtlsdr_open(rtlsdr_dev_t **d, uint32_t i)", "-1"),
+                ("rtlsdr_close(rtlsdr_dev_t *d)", "0"),
+                ("rtlsdr_set_tuner_gain_mode(rtlsdr_dev_t *d, int m)", "0"),
+                ("rtlsdr_set_tuner_gain(rtlsdr_dev_t *d, int g)", "0"),
+                ("rtlsdr_get_tuner_gain(rtlsdr_dev_t *d)", "0"),
+                ("rtlsdr_get_tuner_gains(rtlsdr_dev_t *d, int *g)", "1"),
+                ("rtlsdr_set_freq_correction(rtlsdr_dev_t *d, int p)", "0"),
+                ("rtlsdr_set_agc_mode(rtlsdr_dev_t *d, int o)", "0"),
+                ("rtlsdr_set_center_freq(rtlsdr_dev_t *d, uint32_t f)", "0"),
+                ("rtlsdr_set_sample_rate(rtlsdr_dev_t *d, uint32_t r)", "0"),
+                ("rtlsdr_reset_buffer(rtlsdr_dev_t *d)", "0"),
+                ("rtlsdr_read_async(rtlsdr_dev_t *d, rtlsdr_read_async_cb_t c,"
+                 " void *x, uint32_t n, uint32_t l)", "0"),
+            ]
+        )
+    )
+    for f in ("dump1090.c", "anet.c", "anet.h"):
+        shutil.copy(ref / f, build / f)
+    proc = subprocess.run(
+        ["gcc", "-O2", f"-I{build}", str(build / "dump1090.c"),
+         str(build / "anet.c"), "-o", str(build / "dump1090"),
+         "-lpthread", "-lm"],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        pytest.skip(f"reference build failed: {proc.stderr[-400:]}")
+    return build / "dump1090"
+
+
+@pytest.mark.parametrize("snr_db", [2.0, 6.0, 20.0])
+def test_snr_decode_parity(ref_binary, snr_db):
+    from snr_sweep import build_stream, decode_ours, decode_reference
+
+    rng = np.random.default_rng(int(snr_db * 10) + 777)
+    stream, hexes = build_stream(snr_db, 50, rng)
+    planted = set(hexes)
+    ours = decode_ours(stream) & planted
+    ref = decode_reference(stream, str(ref_binary)) & planted
+    assert ours == ref, (
+        f"sensitivity diverged at {snr_db} dB: "
+        f"ours {len(ours)}/50 vs reference {len(ref)}/50; "
+        f"only-ours={sorted(ours - ref)[:3]} only-ref={sorted(ref - ours)[:3]}"
+    )
+    if snr_db >= 20:
+        assert len(ours) == 50  # clean high-SNR frames must all decode
