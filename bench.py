@@ -53,9 +53,9 @@ CPU_BASELINE_SAMPLES_PER_S = 88e6
 FIXTURE = Path("/root/reference/testfiles/modes1.bin")
 
 NB = 128        # reference-geometry buffers per batch (16.8 M samples)
-G = 8           # batches chained per dispatch group (one fetch per group)
+G = 12          # batches chained per dispatch group (one fetch per group)
 W = 2           # distinct resident input groups, cycled
-T = 10          # steady-state groups timed
+T = 8           # steady-state groups timed
 MC = 256        # max preamble candidates per buffer (product default)
 MO = 16384      # max emitted messages per batch
 
@@ -120,12 +120,12 @@ def main() -> None:
         """G chained batches in one program; outputs stacked for ONE fetch."""
         def body(carry, xb):
             ca, ct = carry
-            n, count, msg, meta, stats, ca, ct = demod_resolve_batch(
+            n, count, merged, stats, ca, ct = demod_resolve_batch(
                 xb, ca, ct, 1_700_000_000, True, False,
                 scan_len=scan_len, max_candidates=MC, max_out=MO,
-                crcok_only=True,
+                crcok_only=True, packed=True,
             )
-            return (ca, ct), (n, count, msg, meta, stats)
+            return (ca, ct), (n, count, merged, stats)
         (ca, ct), outs = lax.scan(body, (ca, ct), x)
         return outs, ca, ct
 
@@ -141,19 +141,19 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     def fetch(outs):
-        n, count, msg, meta, stats = jax.device_get(list(outs))
+        n, count, merged, stats = jax.device_get(list(outs))
         assert int(n.max()) <= MC and int(count.max()) <= MO, "overflow"
-        return count, msg, meta
+        return count, merged
 
     def format_group(fetched) -> tuple[int, bytes]:
-        count, msg, meta = fetched
+        count, merged = fetched
         total, out = 0, []
         for k in range(G):
             c = int(count[k])
             total += c
-            bits = np.where(meta[k, :c] & META_LONG, 112, 56)
+            bits = np.where(merged[k, :c, 14] & META_LONG, 112, 56)
             out.append(raw_lines_from_fields(
-                msg[k, :c], bits, np.ones(c, dtype=bool)))
+                merged[k, :c, :14], bits, np.ones(c, dtype=bool)))
         return total, b"".join(out)
 
     pending = None
@@ -213,15 +213,14 @@ def main() -> None:
     def fused(x, ca, ct, L):
         def body(i, carry):
             ca, ct, acc = carry
-            n, count, msg, meta, stats, ca, ct = demod_resolve_batch(
+            n, count, merged, stats, ca, ct = demod_resolve_batch(
                 perturb(x, i), ca, ct, 1_700_000_000, True, False,
                 scan_len=scan_len, max_candidates=MC, max_out=MO,
-                crcok_only=True,
+                crcok_only=True, packed=True,
             )
             acc = (acc + count.astype(jnp.float32)
                    + n.sum().astype(jnp.float32)
-                   + msg.astype(jnp.int32).sum().astype(jnp.float32)
-                   + meta.sum().astype(jnp.float32)
+                   + merged.astype(jnp.int32).sum().astype(jnp.float32)
                    + stats.sum().astype(jnp.float32))
             return ca, ct, acc
         return lax.fori_loop(0, L, body, (ca, ct, jnp.float32(0)))

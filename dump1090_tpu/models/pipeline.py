@@ -246,7 +246,7 @@ class DemodPipeline:
                 dcfg.fix_errors, dcfg.aggressive,
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
                 max_candidates=self._mc, max_out=self._mo,
-                crcok_only=True,
+                crcok_only=True, packed=True,
             )
 
         it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
@@ -260,7 +260,7 @@ class DemodPipeline:
                     x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
                     x[:n_real] = np.stack(bufs)
                     work = (x, (ca, ct), dispatch(x, ca, ct))
-                    ca, ct = work[2][5], work[2][6]
+                    ca, ct = work[2][4], work[2][5]
                 else:
                     work = None
                 if pending is not None:
@@ -271,7 +271,7 @@ class DemodPipeline:
                             x, _, _ = work
                             ca, ct = redo
                             work = (x, (ca, ct), dispatch(x, ca, ct))
-                            ca, ct = work[2][5], work[2][6]
+                            ca, ct = work[2][4], work[2][5]
                         else:
                             ca, ct = redo
                 if work is None:
@@ -294,10 +294,11 @@ class DemodPipeline:
         from ..ops.resolve import META_LONG, demod_resolve_batch
 
         x, state_before, out = work
-        n, count, msg, meta, stats, _, _ = out
-        # ONE transfer for everything the host needs
-        n_h, count_h, msg_h, meta_h, stats_h = jax.device_get(
-            [n, count, msg, meta, stats]
+        n, count, merged, stats, _, _ = out
+        # ONE transfer for everything the host needs (merged = msg bytes +
+        # one meta byte per message, see demod_resolve_batch packed=True)
+        n_h, count_h, merged_h, stats_h = jax.device_get(
+            [n, count, merged, stats]
         )
         redo = None
         while int(n_h.max(initial=0)) > self._mc or int(count_h) > self._mo:
@@ -318,11 +319,11 @@ class DemodPipeline:
                 jnp.asarray(x), ca0, ct0, self.cache.clock(),
                 self.cfg.decoder.fix_errors, self.cfg.decoder.aggressive,
                 scan_len=_BS - _FL, max_candidates=self._mc, max_out=self._mo,
-                crcok_only=True,
+                crcok_only=True, packed=True,
             )
-            n, count, msg, meta, stats, ca1, ct1 = out
-            n_h, count_h, msg_h, meta_h, stats_h = jax.device_get(
-                [n, count, msg, meta, stats]
+            n, count, merged, stats, ca1, ct1 = out
+            n_h, count_h, merged_h, stats_h = jax.device_get(
+                [n, count, merged, stats]
             )
             redo = (ca1, ct1)
         c = int(count_h)
@@ -332,9 +333,11 @@ class DemodPipeline:
             stats_h.tolist(),
         ):
             setattr(self.stats, name, getattr(self.stats, name) + d)
-        bits = np.where(meta_h[:c] & META_LONG, 112, 56)
+        bits = np.where(merged_h[:c, 14] & META_LONG, 112, 56)
         return (
-            raw_lines_from_fields(msg_h[:c], bits, np.ones(c, dtype=bool)),
+            raw_lines_from_fields(
+                merged_h[:c, :14], bits, np.ones(c, dtype=bool)
+            ),
             redo,
         )
 

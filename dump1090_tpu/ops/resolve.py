@@ -519,6 +519,7 @@ def _use_pallas_resolve() -> bool:
     jax.jit,
     static_argnames=(
         "scan_len", "max_candidates", "max_out", "crcok_only", "pallas",
+        "packed",
     ),
 )
 def demod_resolve_batch(
@@ -534,6 +535,7 @@ def demod_resolve_batch(
     max_out: int,
     crcok_only: bool = True,
     pallas: bool | None = None,
+    packed: bool = False,
 ):
     """Fused device pipeline: (NB, nbytes) uint8 IQ -> emitted messages.
 
@@ -543,6 +545,11 @@ def demod_resolve_batch(
       msg_out  uint8[max_out,14] emitted frames (post-fix), scan order
       meta_out int32[max_out]    pos<<4 | pass<<3 | long<<2 | phase<<1 | crcok
       stats    int32[8]          reference counter deltas (DecoderStats order)
+
+    With packed=True, msg_out and meta_out merge into ONE uint8[max_out,15]
+    array (columns 0..13 = frame bytes, column 14 = the low meta bits) —
+    half the fetch arrays and ~20% fewer bytes on runtimes where the
+    device->host link is the bottleneck; pos is dropped.
     """
     from ..parallel.sharding import demod_batch
 
@@ -649,4 +656,9 @@ def demod_resolve_batch(
         jnp.take(meta_slot, gsel) + p_sel.astype(jnp.int32) * META_PASS,
         -1,
     )
+    if packed:
+        merged = jnp.concatenate(
+            [msg_out, (meta_out & 0xF).astype(jnp.uint8)[:, None]], axis=1
+        )
+        return cand.n, count, merged, stats, ca, ct
     return cand.n, count, msg_out, meta_out, stats, ca, ct
