@@ -87,9 +87,14 @@ def decode_ours(stream: np.ndarray, mode: str) -> list[str]:
         return out.splitlines()
 
     cfg = DecoderConfig(
-        fix_errors=mode != "nofix", aggressive=mode == "aggressive"
+        fix_errors=not mode.endswith("nofix"),
+        aggressive=mode.endswith("aggressive"),
     )
     p = DemodPipeline(PipelineConfig(decoder=cfg, batch_buffers=4))
+    if mode.startswith("device"):
+        # the fully-fused on-device resolver path (ops/resolve.py)
+        raw = b"".join(p.stream_raw_device(io.BytesIO(stream.tobytes())))
+        return raw.decode().split()
     out = []
     p.run(
         io.BytesIO(stream.tobytes()),
@@ -102,9 +107,9 @@ def decode_ours(stream: np.ndarray, mode: str) -> list[str]:
 
 def decode_ref(stream: np.ndarray, ref: str, mode: str) -> list[str]:
     args = [ref]
-    if mode == "nofix":
+    if mode.endswith("nofix"):
         args += ["--raw", "--no-fix"]
-    elif mode == "aggressive":
+    elif mode.endswith("aggressive"):
         args += ["--raw", "--aggressive"]
     elif mode == "verbose":
         pass  # full decoded-field display
@@ -126,7 +131,9 @@ def main() -> None:
     ap.add_argument("--ref", default="/tmp/refbuild/dump1090")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--mode", default="raw", choices=["raw", "nofix", "aggressive", "verbose"])
+    ap.add_argument("--mode", default="raw",
+                    choices=["raw", "nofix", "aggressive", "verbose",
+                             "device", "device-nofix", "device-aggressive"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
