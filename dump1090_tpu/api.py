@@ -203,6 +203,7 @@ def decode_capture_sharded(
     cache: IcaoCache | None = None,
     emit=None,
     progress: dict | None = None,
+    lock=None,
 ) -> list[ModesMessage]:
     """Decode ONE long capture with each buffer's timeline sharded over a
     device mesh — the multi-chip path for a single stream (SURVEY §2.5:
@@ -219,7 +220,12 @@ def decode_capture_sharded(
     mesh: a jax.sharding.Mesh with ("dp", "sp") axes; default = all devices
     on the sp axis (sp= overrides).  emit: optional callback invoked with
     every message in stream order (in addition to the returned list).
+    lock: optional (reentrant) lock held across each resolve step when
+    another thread shares the cache/stats (the CLI passes its state lock).
+    Per-shard candidate overflow is detected by exact counts and retried
+    with sticky max_candidates growth, like every other decode path.
     """
+    import contextlib
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -237,11 +243,20 @@ def decode_capture_sharded(
     shard_samples = -(-SCAN_POSITIONS // sp_n)
     total = sp_n * shard_samples  # padded timeline (scan clipped by mask)
 
-    fn = make_sharded_demod(
-        mesh, shard_samples=shard_samples, max_candidates=max_candidates,
-        scan_total=SCAN_POSITIONS, with_tail=True,
-    )
+    mc_box = {"mc": max_candidates}
+    fns = {}
+
+    def get_fn():
+        mc = mc_box["mc"]
+        if mc not in fns:
+            fns[mc] = make_sharded_demod(
+                mesh, shard_samples=shard_samples, max_candidates=mc,
+                scan_total=SCAN_POSITIONS, with_tail=True,
+            )
+        return fns[mc]
+
     mag_j = jax.jit(jax.vmap(magnitude_from_iq))
+    lock = lock if lock is not None else contextlib.nullcontext()
 
     dcfg = config or DecoderConfig()
     cache = cache if cache is not None else IcaoCache()
@@ -288,11 +303,22 @@ def decode_capture_sharded(
                 np.ascontiguousarray(m_pad[:, total : total + HALO]),
                 NamedSharding(mesh, P("dp", None)),
             )
-            cand = fn(mm_main, tail)
-            for r, (n, bc) in enumerate(merge_sharded_rows(cand, SCAN_POSITIONS)):
+            while True:
+                cand = get_fn()(mm_main, tail)
+                try:
+                    # merges EVERY row before any resolve, so an overflow
+                    # retry never observes partially-advanced cache state
+                    rows = merge_sharded_rows(cand, SCAN_POSITIONS)
+                    break
+                except OverflowError:
+                    if mc_box["mc"] >= SCAN_POSITIONS // 2 + 1:
+                        raise
+                    mc_box["mc"] *= 4  # sticky growth, like the pipeline
+            for r, (n, bc) in enumerate(rows):
                 if r >= n_real:
                     break
-                resolver(bc, cache, dcfg, st, sink)
+                with lock:
+                    resolver(bc, cache, dcfg, st, sink)
     finally:
         if stream is not capture:
             stream.close()

@@ -346,10 +346,18 @@ def main(argv: list[str] | None = None) -> int:
     if pipeline is not None:
         pipeline._lock = state_lock
 
+    # TUI redraw guard: a plain (non-reentrant) lock held while the main
+    # thread mutates tracker state, so the SIGWINCH handler — which runs
+    # between arbitrary bytecodes on the SAME thread — redraws immediately
+    # only when the tracker is consistent, and just records the new row
+    # count otherwise (the reference redraws unconditionally from the
+    # handler, C's version of the same hazard; dump1090.c:2772-2777)
+    tui_guard = threading.Lock()
+
     # live terminal resize, like the reference (sigWinchCallback,
-    # dump1090.c:2772-2777, installed at dump1090.c:2940)
+    # installed at dump1090.c:2940)
     if o.interactive:
-        _install_sigwinch(o, tracker)
+        _install_sigwinch(o, tracker, state_lock, tui_guard)
 
     if o.state_load:
         from .utils import state as state_mod
@@ -392,12 +400,14 @@ def main(argv: list[str] | None = None) -> int:
             last_refresh = 0.0
             while True:
                 time.sleep(0.1)
-                with state_lock:
-                    tracker.remove_stale()
+                if not o.interactive:
+                    with state_lock:
+                        tracker.remove_stale()
                 # TUI refresh gated at 250 ms like backgroundTasks
-                # (MODES_INTERACTIVE_REFRESH_TIME, dump1090.c:89, 2839-2846)
-                if o.interactive and time.time() - last_refresh > 0.25:
-                    _interactive_refresh(tracker, o)
+                # (MODES_INTERACTIVE_REFRESH_TIME, dump1090.c:89, 2839-2846);
+                # the refresh itself evicts stale aircraft under the lock
+                elif time.time() - last_refresh > 0.25:
+                    _interactive_refresh(tracker, o, state_lock, tui_guard)
                     last_refresh = time.time()
             return 0  # unreachable
 
@@ -434,6 +444,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             stats, cache = pipeline.stats, pipeline.cache
             hub.stats = stats
+            if o.state_load:
+                # the snapshot was restored into the standalone objects
+                # before the device path existed; restore again into the
+                # pipeline's own cache/stats so it is not silently dropped
+                from .utils import state as state_mod
+
+                state_mod.load(o.state_load, tracker, cache, stats)
 
         from .io.sources import open_iq_source
 
@@ -449,13 +466,15 @@ def main(argv: list[str] | None = None) -> int:
 
         def on_message(mm) -> None:
             # inline emission: keeps --debug dumps and message display
-            # interleaved in scan order, exactly like the reference
-            with state_lock:
+            # interleaved in scan order, exactly like the reference.  The
+            # tui_guard marks the tracker-mutating region so a SIGWINCH
+            # arriving mid-update defers its redraw
+            with state_lock, tui_guard:
                 hub.use_message(mm)
             if o.interactive:
                 now = time.time()
                 if now - last_refresh[0] > 0.25:
-                    _interactive_refresh(tracker, o)
+                    _interactive_refresh(tracker, o, state_lock, tui_guard)
                     last_refresh[0] = now
 
         # pure --raw / --stats with no other consumers: bulk fast paths
@@ -491,6 +510,7 @@ def main(argv: list[str] | None = None) -> int:
                     stream, sp=o.shard_time, config=dcfg, stats=stats,
                     cache=cache, emit=on_message,
                     max_candidates=o.max_candidates, progress=progress,
+                    lock=state_lock,
                 )
                 pipeline.samples_in = progress["samples"]
             elif fast_dev:
@@ -512,7 +532,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 pipeline.run(stream, on_message)
             if o.interactive:
-                _interactive_refresh(tracker, o)  # final state stays visible
+                # final state stays visible
+                _interactive_refresh(tracker, o, state_lock, tui_guard)
         finally:
             if profiler_cm is not None:
                 profiler_cm.__exit__(None, None, None)
@@ -543,14 +564,22 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _install_sigwinch(o, tracker) -> None:
+def _install_sigwinch(o, tracker, state_lock, tui_guard) -> None:
     """Re-read the terminal height and redraw on resize (sigWinchCallback,
-    dump1090.c:2772-2777; installed for --interactive at dump1090.c:2940)."""
+    dump1090.c:2772-2777; installed for --interactive at dump1090.c:2940).
+
+    The handler runs between arbitrary bytecodes on the main thread, so it
+    redraws only when the tracker is not mid-mutation (tui_guard free);
+    otherwise the new row count simply takes effect at the next refresh."""
     import signal
 
     def _winch(sig, frame):
         o.interactive_rows = get_term_rows()
-        _interactive_refresh(tracker, o)
+        if tui_guard.acquire(blocking=False):
+            try:
+                _interactive_refresh(tracker, o, state_lock, None)
+            finally:
+                tui_guard.release()
 
     try:
         signal.signal(signal.SIGWINCH, _winch)
@@ -558,19 +587,24 @@ def _install_sigwinch(o, tracker) -> None:
         pass  # non-main thread or platform without SIGWINCH
 
 
-def _interactive_refresh(tracker, o) -> None:
+def _interactive_refresh(tracker, o, state_lock=None, tui_guard=None) -> None:
+    """Evict stale aircraft and redraw the table — under the state lock (the
+    asyncio net thread mutates the same tracker) and flagged via tui_guard
+    so a concurrent SIGWINCH defers its own redraw."""
+    import contextlib
     import shutil
 
     from .utils import display as disp
 
-    tracker.remove_stale()
-    rows = o.interactive_rows or (shutil.get_terminal_size().lines)
-    now = int(time.time())
-    sys.stdout.write(
-        disp.interactive_screen(
+    with (state_lock or contextlib.nullcontext()), \
+         (tui_guard or contextlib.nullcontext()):
+        tracker.remove_stale()
+        rows = o.interactive_rows or (shutil.get_terminal_size().lines)
+        now = int(time.time())
+        screen = disp.interactive_screen(
             tracker, rows=rows, metric=o.metric, now=now, spinner_t=now
         )
-    )
+    sys.stdout.write(screen)
     sys.stdout.flush()
 
 

@@ -84,8 +84,8 @@ class NetworkServices:
         except OSError:
             return -1
 
-    def _log_new(self, writer) -> None:
-        self._log(f"Created new client {self._fd(writer)}")
+    def _log_new(self, fd: int) -> None:
+        self._log(f"Created new client {fd}")
 
     def _log_close(self, fd: int) -> None:
         self._log(f"Closing client {fd}")
@@ -171,7 +171,7 @@ class NetworkServices:
     async def _serve_raw_out(self, reader, writer) -> None:
         fd = self._fd(writer)
         self._raw_clients.add(writer)
-        self._log(f"Created new client {fd}")
+        self._log_new(fd)
         try:
             while await reader.read(4096):
                 pass  # reference never reads raw-out clients; drain politely
@@ -186,7 +186,7 @@ class NetworkServices:
 
     async def _serve_raw_in(self, reader, writer) -> None:
         fd = self._fd(writer)
-        self._log(f"Created new client {fd}")
+        self._log_new(fd)
         try:
             while True:
                 line = await reader.readline()
@@ -206,7 +206,7 @@ class NetworkServices:
     async def _serve_sbs(self, reader, writer) -> None:
         fd = self._fd(writer)
         self._sbs_clients.add(writer)
-        self._log(f"Created new client {fd}")
+        self._log_new(fd)
         self.on_sbs_connect()
         try:
             while await reader.read(4096):
@@ -222,7 +222,7 @@ class NetworkServices:
 
     async def _serve_http(self, reader, writer) -> None:
         fd = self._fd(writer)
-        self._log(f"Created new client {fd}")
+        self._log_new(fd)
         try:
             while True:
                 # request framed on \r\n\r\n (dump1090.c:2731-2732)

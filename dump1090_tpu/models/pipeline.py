@@ -230,8 +230,7 @@ class DemodPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..native import raw_lines_from_fields
-        from ..ops.resolve import META_LONG, demod_resolve_batch
+        from ..ops.resolve import demod_resolve_batch
 
         nb = max(self.cfg.batch_buffers, 1)
         if self._mo is None:
@@ -289,6 +288,7 @@ class DemodPipeline:
         redo_state is None normally, or the (cache_addr, cache_ts) state to
         re-dispatch downstream batches from after an overflow retry."""
         import jax
+        import jax.numpy as jnp
 
         from ..native import raw_lines_from_fields
         from ..ops.resolve import META_LONG, demod_resolve_batch
@@ -311,14 +311,11 @@ class DemodPipeline:
                 while self._mo < int(count_h):
                     self._mo *= 4
             ca0, ct0 = state_before
-            import jax.numpy as jnp
-
-            from ..constants import BUF_SAMPLES as _BS, FULL_LEN_SAMPLES as _FL
-
             out = demod_resolve_batch(
                 jnp.asarray(x), ca0, ct0, self.cache.clock(),
                 self.cfg.decoder.fix_errors, self.cfg.decoder.aggressive,
-                scan_len=_BS - _FL, max_candidates=self._mc, max_out=self._mo,
+                scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
+                max_candidates=self._mc, max_out=self._mo,
                 crcok_only=True, packed=True,
             )
             n, count, merged, stats, ca1, ct1 = out

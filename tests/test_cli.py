@@ -138,12 +138,14 @@ def test_sigwinch_rereads_rows_and_redraws(capsys):
     from dump1090_tpu import cli
     from dump1090_tpu.models.tracker import AircraftTracker
 
+    import threading
+
     o = cli.parse_args(["--interactive"])
     o.interactive_rows = 1  # stale value; the handler must replace it
     tracker = AircraftTracker()
     old = signal.getsignal(signal.SIGWINCH)
     try:
-        cli._install_sigwinch(o, tracker)
+        cli._install_sigwinch(o, tracker, threading.RLock(), threading.Lock())
         os.kill(os.getpid(), signal.SIGWINCH)
         import time
 

@@ -95,13 +95,22 @@ def main() -> int:
     base = np.tile(m_full, 1 + total // len(m_full))[:total]
     m = np.tile(base[None, :], (args.dp, 1))
 
-    # this process's slice of the (dp, sp)-sharded timeline: the sp axis is
-    # laid out minor-to-major across the global device list, so process p
-    # owns contiguous time columns
-    per_proc_cols = total // args.num_processes
-    lo = args.process_id * per_proc_cols
-    local = np.ascontiguousarray(m[:, lo : lo + per_proc_cols])
-    x = multihost.shard_timeline(local, mesh)
+    if args.dp == 1:
+        # the sp axis is laid out across the global device list, so process
+        # p owns contiguous time columns: contribute exactly its slice via
+        # make_array_from_process_local_data (the multi-host input path)
+        per_proc_cols = total // args.num_processes
+        lo = args.process_id * per_proc_cols
+        local = np.ascontiguousarray(m[:, lo : lo + per_proc_cols])
+        x = multihost.shard_timeline(local, mesh)
+    else:
+        # dp > 1 splits processes across ROWS (or mixed layouts); every
+        # process has the full input here, so let each device pull its own
+        # global slice — layout-agnostic
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("dp", "sp"))
+        x = jax.make_array_from_callback(m.shape, sharding, lambda idx: m[idx])
 
     fn = make_sharded_demod(mesh, shard_samples=shard, max_candidates=128)
     cand = fn(x)
