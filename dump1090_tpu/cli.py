@@ -529,6 +529,11 @@ def main(argv: list[str] | None = None) -> int:
                     if line:
                         w.write(line)
                         w.flush()
+            elif use_dev and not o.debug:
+                # full-fidelity hub path (verbose/SBS/tracker/net) with the
+                # sequential resolve on the device; host field decode is
+                # stateless (models/decoder.py message_from_device)
+                pipeline.run_device(stream, on_message)
             else:
                 pipeline.run(stream, on_message)
             if o.interactive:

@@ -23,7 +23,9 @@ from ..constants import (
     DF11_IID_MAX_SYNDROME,
     ICAO_CACHE_LEN,
     ICAO_CACHE_TTL,
+    LONG_MSG_BITS,
     LONG_MSG_BYTES,
+    SHORT_MSG_BITS,
     MAX_BITERRORS,
     message_bits_for_df,
 )
@@ -242,6 +244,30 @@ def decode_message(
                 else:
                     stats.two_bits_fix += 1
 
+    _decode_common_fields(mm, msg)
+
+    if mm.msgtype not in (11, 17, 18):
+        mm.crcok = brute_force_ap(msg, mm, cache)
+    else:
+        addr = mm.addr
+        if mm.crcok and mm.errorbit == -1:
+            cache.add(addr)
+        # DF11 with a small residual syndrome: treat it as the Interrogator
+        # Identifier if we know the aircraft (dump1090.c:1204-1209).
+        if mm.msgtype == 11 and not mm.crcok and mm.crc < DF11_IID_MAX_SYNDROME:
+            if cache.recently_seen(addr):
+                mm.iid = mm.crc
+                mm.crcok = True
+
+    mm.phase_corrected = False
+    mm.msg = bytes(msg)
+    return mm
+
+
+def _decode_common_fields(mm: ModesMessage, msg: np.ndarray) -> None:
+    """The stateless field extraction of decodeModesMessage
+    (dump1090.c:1133-1179, 1213-1308): pure functions of the frame bytes,
+    shared by the host decoder and the device-resolve reconstruction."""
     mm.ca = int(msg[0]) & 7
     mm.aa1, mm.aa2, mm.aa3 = int(msg[1]), int(msg[2]), int(msg[3])
     mm.metype = int(msg[4]) >> 3
@@ -257,26 +283,56 @@ def decode_message(
     d = ((int(msg[3]) & 0x01) << 2) | ((int(msg[3]) & 0x04) >> 1) | ((int(msg[3]) & 0x10) >> 4)
     mm.identity = a * 1000 + b * 100 + c * 10 + d
 
-    if mm.msgtype not in (11, 17, 18):
-        mm.crcok = brute_force_ap(msg, mm, cache)
-    else:
-        addr = mm.addr
-        if mm.crcok and mm.errorbit == -1:
-            cache.add(addr)
-        # DF11 with a small residual syndrome: treat it as the Interrogator
-        # Identifier if we know the aircraft (dump1090.c:1204-1209).
-        if mm.msgtype == 11 and not mm.crcok and mm.crc < DF11_IID_MAX_SYNDROME:
-            if cache.recently_seen(addr):
-                mm.iid = mm.crc
-                mm.crcok = True
-
     if mm.msgtype in (0, 4, 16, 20):
         mm.altitude, mm.unit = decode_ac13_field(msg)
 
     if mm.msgtype in (17, 18):
         _decode_extended_squitter(mm, msg)
 
-    mm.phase_corrected = False
+
+def message_from_device(raw, meta: int, syn: int) -> ModesMessage:
+    """Rebuild the full ModesMessage for one device-resolved emission.
+
+    The device resolver (ops/resolve.py) already made every stateful
+    decision (CRC fix, brute-force AP acceptance, DF11 IID, cache adds) and
+    encoded the outcome in `meta`; the remaining fields are pure functions
+    of the post-fix frame bytes plus the 24-bit syndrome `syn` of those
+    bytes:
+
+      * mm.crc is the syndrome (zero after a fix, like the reference's
+        recompute at dump1090.c:1119-1121);
+      * a crcok DF11 with nonzero syndrome is an IID acceptance, and the
+        syndrome IS the interrogator id (dump1090.c:1204-1209);
+      * a crcok address/parity frame's recovered address IS the syndrome
+        (AP = CRC xor addr, dump1090.c:942-983).
+    """
+    from ..ops.resolve import (
+        META_CRCOK,
+        META_ERRBIT_MASK,
+        META_ERRBIT_SHIFT,
+        META_LONG,
+        META_PHASE,
+    )
+
+    msg = np.zeros(LONG_MSG_BYTES, dtype=np.uint8)
+    raw = np.asarray(raw, dtype=np.uint8)
+    msg[: len(raw)] = raw[:LONG_MSG_BYTES]
+
+    mm = ModesMessage()
+    mm.msgtype = int(msg[0]) >> 3
+    mm.msgbits = LONG_MSG_BITS if meta & META_LONG else SHORT_MSG_BITS
+    mm.crc = int(syn)
+    mm.crcok = bool(meta & META_CRCOK)
+    mm.errorbit = ((meta >> META_ERRBIT_SHIFT) & META_ERRBIT_MASK) - 1
+    _decode_common_fields(mm, msg)
+    if mm.msgtype in (11, 17, 18):
+        if mm.msgtype == 11 and mm.crcok and mm.crc != 0:
+            mm.iid = mm.crc
+    elif mm.crcok:  # brute-force-AP acceptance: address == syndrome
+        mm.aa1 = (mm.crc >> 16) & 0xFF
+        mm.aa2 = (mm.crc >> 8) & 0xFF
+        mm.aa3 = mm.crc & 0xFF
+    mm.phase_corrected = bool(meta & META_PHASE)
     mm.msg = bytes(msg)
     return mm
 

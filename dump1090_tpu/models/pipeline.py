@@ -215,16 +215,59 @@ class DemodPipeline:
     def stream_raw_device(self, stream: BinaryIO):
         """Bulk device path: yield `*<hex>;\\n` bytes per batch with BOTH the
         O(samples) demodulation and the O(candidates) sequential resolve on
-        the device (ops/resolve.py); the host only formats emitted messages.
+        the device (ops/resolve.py); the host only formats the emitted
+        good-CRC messages (one packed uint8 array per batch)."""
+        from ..native import raw_lines_from_fields
+        from ..ops.resolve import META_LONG
 
-        The ICAO cache lives on the device between batches and is synced back
-        to this pipeline's host cache at the end of the stream; stats
-        accumulate into self.stats per batch.  Batch k+1 is dispatched from
-        batch k's device-resident output state before k's results are
-        fetched, so device compute, the device->host transfer, and host
-        formatting overlap.  Overflow (preamble count > max_candidates, or
-        emitted count > max_out) is detected by exact counts and retried
-        from the pre-batch state with sticky shape growth."""
+        for fetched in self._device_batches(stream, crcok_only=True, packed=True):
+            _, merged_h = fetched
+            c = merged_h.shape[0]
+            bits = np.where(merged_h[:, 14] & META_LONG, 112, 56)
+            yield raw_lines_from_fields(
+                merged_h[:, :14], bits, np.ones(c, dtype=bool)
+            )
+
+    def run_device(self, stream: BinaryIO, emit: Callable[[ModesMessage], None]) -> None:
+        """Full-fidelity device path: every message the reference hands to
+        useModesMessage (good AND bad CRC), as ModesMessage objects in scan
+        order, with demod + sequential resolve on the device.  Field decode
+        on the host is stateless (models/decoder.py message_from_device):
+        all cache/CRC decisions arrive in the per-message meta word, and the
+        syndrome of the emitted bytes supplies crc/IID/AP-address."""
+        from ..ops import crc as crc_ops
+        from ..ops.resolve import META_LONG
+        from .decoder import message_from_device
+
+        for meta_h, msg_h in self._device_batches(
+            stream, crcok_only=False, packed=False
+        ):
+            c = meta_h.shape[0]
+            if c == 0:
+                continue
+            # syndromes of the emitted (post-fix) frames, vectorized
+            syn = np.empty(c, dtype=np.uint32)
+            is_long = (meta_h & META_LONG) != 0
+            if is_long.any():
+                syn[is_long] = crc_ops.batch_syndromes(msg_h[is_long], 112)
+            if (~is_long).any():
+                syn[~is_long] = crc_ops.batch_syndromes(msg_h[~is_long], 56)
+            with self._lock:
+                for i in range(c):
+                    emit(message_from_device(msg_h[i], int(meta_h[i]), int(syn[i])))
+
+    def _device_batches(self, stream: BinaryIO, *, crcok_only: bool, packed: bool):
+        """Shared device-pipeline core: dispatch batches chained through the
+        device-resident ICAO cache, fetch each batch's emissions (ONE
+        transfer), detect overflow by exact counts and retry from the
+        pre-batch state with sticky shape growth.
+
+        Batch k+1 is dispatched from batch k's device-resident output state
+        before k's results are fetched, so device compute, the device->host
+        transfer, and the caller's host work overlap.  Yields per batch:
+        (count, merged[count, 15]) when packed, else (meta[count],
+        msg[count, 14]).  The device cache is synced back to the host cache
+        at the end of the stream; stats accumulate into self.stats."""
         import itertools
 
         import jax
@@ -245,8 +288,45 @@ class DemodPipeline:
                 dcfg.fix_errors, dcfg.aggressive,
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
                 max_candidates=self._mc, max_out=self._mo,
-                crcok_only=True, packed=True,
+                crcok_only=crcok_only, packed=packed,
             )
+
+        def finish(work):
+            """Fetch one batch; returns (payload, redo_state)."""
+            x, state_before, out = work
+            redo = None
+            while True:
+                if packed:
+                    n, count, merged, stats = out[0], out[1], out[2], out[3]
+                    n_h, count_h, merged_h, stats_h = jax.device_get(
+                        [n, count, merged, stats]
+                    )
+                else:
+                    n, count, msg, meta, stats = out[:5]
+                    n_h, count_h, msg_h, meta_h, stats_h = jax.device_get(
+                        [n, count, msg, meta, stats]
+                    )
+                if int(n_h.max(initial=0)) <= self._mc and int(count_h) <= self._mo:
+                    break
+                # grow the overflowing shape(s) and replay from the
+                # pre-batch state (exact counts: loud, never silent)
+                while self._mc < int(n_h.max(initial=0)):
+                    self._mc *= 4
+                while self._mo < int(count_h):
+                    self._mo *= 4
+                ca0, ct0 = state_before
+                out = dispatch(x, ca0, ct0)
+                redo = (out[-2], out[-1])
+            for name, d in zip(
+                ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
+                 "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
+                stats_h.tolist(),
+            ):
+                setattr(self.stats, name, getattr(self.stats, name) + d)
+            c = int(count_h)
+            if packed:
+                return (c, merged_h[:c]), redo
+            return (meta_h[:c], msg_h[:c]), redo
 
         it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
         pending = None  # (x, state_before, out)
@@ -259,18 +339,18 @@ class DemodPipeline:
                     x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
                     x[:n_real] = np.stack(bufs)
                     work = (x, (ca, ct), dispatch(x, ca, ct))
-                    ca, ct = work[2][4], work[2][5]
+                    ca, ct = work[2][-2], work[2][-1]
                 else:
                     work = None
                 if pending is not None:
-                    done, redo = self._finish_device_batch(pending)
-                    yield done
+                    payload, redo = finish(pending)
+                    yield payload
                     if redo:  # shapes grew: replay the in-flight batch too
                         if work is not None:
                             x, _, _ = work
                             ca, ct = redo
                             work = (x, (ca, ct), dispatch(x, ca, ct))
-                            ca, ct = work[2][4], work[2][5]
+                            ca, ct = work[2][-2], work[2][-1]
                         else:
                             ca, ct = redo
                 if work is None:
@@ -282,61 +362,6 @@ class DemodPipeline:
             ca_h, ct_h = jax.device_get([ca, ct])
             self.cache.addr[:] = ca_h.astype(np.uint32)
             self.cache.ts[:] = ct_h.astype(np.int64)
-
-    def _finish_device_batch(self, work):
-        """Fetch one device batch's results; returns (raw_bytes, redo_state).
-        redo_state is None normally, or the (cache_addr, cache_ts) state to
-        re-dispatch downstream batches from after an overflow retry."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..native import raw_lines_from_fields
-        from ..ops.resolve import META_LONG, demod_resolve_batch
-
-        x, state_before, out = work
-        n, count, merged, stats, _, _ = out
-        # ONE transfer for everything the host needs (merged = msg bytes +
-        # one meta byte per message, see demod_resolve_batch packed=True)
-        n_h, count_h, merged_h, stats_h = jax.device_get(
-            [n, count, merged, stats]
-        )
-        redo = None
-        while int(n_h.max(initial=0)) > self._mc or int(count_h) > self._mo:
-            # grow the overflowing shape(s) and replay from the pre-batch
-            # state (exact counts make overflow loud, never silent)
-            if int(n_h.max(initial=0)) > self._mc:
-                while self._mc < int(n_h.max()):
-                    self._mc *= 4
-            if int(count_h) > self._mo:
-                while self._mo < int(count_h):
-                    self._mo *= 4
-            ca0, ct0 = state_before
-            out = demod_resolve_batch(
-                jnp.asarray(x), ca0, ct0, self.cache.clock(),
-                self.cfg.decoder.fix_errors, self.cfg.decoder.aggressive,
-                scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                max_candidates=self._mc, max_out=self._mo,
-                crcok_only=True, packed=True,
-            )
-            n, count, merged, stats, ca1, ct1 = out
-            n_h, count_h, merged_h, stats_h = jax.device_get(
-                [n, count, merged, stats]
-            )
-            redo = (ca1, ct1)
-        c = int(count_h)
-        for name, d in zip(
-            ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
-             "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
-            stats_h.tolist(),
-        ):
-            setattr(self.stats, name, getattr(self.stats, name) + d)
-        bits = np.where(merged_h[:c, 14] & META_LONG, 112, 56)
-        return (
-            raw_lines_from_fields(
-                merged_h[:c, :14], bits, np.ones(c, dtype=bool)
-            ),
-            redo,
-        )
 
     def stream_records(self, stream: BinaryIO):
         """Bulk fast path: yield one packed native Record array per buffer,

@@ -97,12 +97,15 @@ R_CRCOK2 = 64
 R_GOOD2 = 128
 
 # meta word layout of emitted messages (bit 0 is the LSB):
-# pos << 4 | pass << 3 | long << 2 | phase_corrected << 1 | crcok
+# pos << 12 | (errorbit+1) << 4 | pass << 3 | long << 2 | phase << 1 | crcok
+# (errorbit+1 in [0, 112]: 0 = no fix applied; pos <= SCAN_POSITIONS < 2^18)
 META_CRCOK = 1
 META_PHASE = 2
 META_LONG = 4
 META_PASS = 8
-META_POS_SHIFT = 4
+META_ERRBIT_SHIFT = 4
+META_ERRBIT_MASK = 0xFF
+META_POS_SHIFT = 12
 
 # short / long frame skip distances: j + (8 us + msgbits) * 2 + 1
 # (dump1090.c:1769-1771)
@@ -280,6 +283,7 @@ def _pass_precompute(msgs, errors, gate, aggressive, fix_errors):
         fixed_two=nfix == 2,
         clean=errorbit == -1,
         long=is_long,
+        errorbit=errorbit,
     )
     return word, msg_fixed, aux
 
@@ -645,10 +649,14 @@ def demod_resolve_batch(
         [jnp.zeros_like(good2), good2], axis=1
     ).reshape(2 * n_flat)
     long_slot = jnp.stack([aux1["long"], aux2["long"]], axis=1).reshape(2 * n_flat)
+    errbit_slot = jnp.stack(
+        [aux1["errorbit"], aux2["errorbit"]], axis=1
+    ).reshape(2 * n_flat)
     meta_slot = (
         crcok_slot.astype(jnp.int32) * META_CRCOK
         + phase_slot.astype(jnp.int32) * META_PHASE
         + long_slot.astype(jnp.int32) * META_LONG
+        + ((errbit_slot + 1) << META_ERRBIT_SHIFT)
         + (jnp.repeat(pos, 2) << META_POS_SHIFT)
     )
     meta_out = jnp.where(

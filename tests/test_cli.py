@@ -155,3 +155,13 @@ def test_sigwinch_rereads_rows_and_redraws(capsys):
         assert "Flight" in out  # the TUI header was redrawn
     finally:
         signal.signal(signal.SIGWINCH, old)
+
+
+def test_verbose_via_device_resolver_byte_exact(modes1_path, golden_dir):
+    """The full decoded-field display driven by the ON-DEVICE resolver
+    (--tpu-device-resolve on routes the hub path through run_device +
+    message_from_device) must stay byte-identical to the reference."""
+    r = run_cli(["--ifile", str(modes1_path), "--tpu-device-resolve", "on",
+                 "--tpu-batch", "2"], timeout=420)
+    assert r.returncode == 0
+    assert r.stdout.decode() == (golden_dir / "golden_verbose.txt").read_text()

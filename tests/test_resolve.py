@@ -282,3 +282,33 @@ def test_pipeline_stream_raw_device(modes1_path, golden_dir):
         out2 = b"".join(p2.stream_raw_device(f))
     assert out2 == golden
     assert p2._mo >= 256
+
+
+@pytest.mark.parametrize("fix,aggressive", [(True, False), (True, True)])
+def test_run_device_full_field_equality(modes1_path, fix, aggressive):
+    """The full-fidelity device hub path (DemodPipeline.run_device +
+    models/decoder.py message_from_device): every ModesMessage field of
+    every emitted message equals the host pipeline's, and stats match."""
+    import dataclasses
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    cfg = DecoderConfig(fix_errors=fix, aggressive=aggressive)
+    p_dev = DemodPipeline(
+        PipelineConfig(decoder=cfg, batch_buffers=2), clock=lambda: NOW
+    )
+    dev = []
+    with open(modes1_path, "rb") as f:
+        p_dev.run_device(f, dev.append)
+
+    p_host = DemodPipeline(
+        PipelineConfig(decoder=cfg, batch_buffers=2), clock=lambda: NOW
+    )
+    host = []
+    with open(modes1_path, "rb") as f:
+        p_host.run(f, host.append)
+
+    assert len(dev) == len(host) > 0
+    for a, b in zip(dev, host):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+    assert p_dev.stats == p_host.stats

@@ -72,15 +72,19 @@ def decode_ours(stream: np.ndarray, mode: str) -> list[str]:
     from dump1090_tpu.models.decoder import DecoderConfig
     from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
 
-    if mode == "verbose":
-        # full field-decode + display formatting, via the real CLI
+    if mode.endswith("verbose"):
+        # full field-decode + display formatting, via the real CLI (with
+        # device-verbose: the on-device resolver feeding the hub path)
+        args = ["--tpu-device-resolve",
+                "on" if mode.startswith("device") else "off"]
         with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
             stream.tofile(tf.name)
             env = {k: v for k, v in __import__("os").environ.items()
                    if k != "PYTHONPATH"}
             env["JAX_PLATFORMS"] = "cpu"
             out = subprocess.run(
-                [sys.executable, "-m", "dump1090_tpu", "--ifile", tf.name],
+                [sys.executable, "-m", "dump1090_tpu", "--ifile", tf.name,
+                 *args],
                 capture_output=True, text=True, timeout=600, env=env,
                 cwd=str(Path(__file__).resolve().parent.parent),
             ).stdout
@@ -111,7 +115,7 @@ def decode_ref(stream: np.ndarray, ref: str, mode: str) -> list[str]:
         args += ["--raw", "--no-fix"]
     elif mode.endswith("aggressive"):
         args += ["--raw", "--aggressive"]
-    elif mode == "verbose":
+    elif mode.endswith("verbose"):
         pass  # full decoded-field display
     else:
         args.append("--raw")
@@ -121,7 +125,7 @@ def decode_ref(stream: np.ndarray, ref: str, mode: str) -> list[str]:
             args + ["--ifile", tf.name], capture_output=True, text=True,
             timeout=600,
         ).stdout
-    if mode == "verbose":
+    if mode.endswith("verbose"):
         return out.splitlines()
     return [l.strip() for l in out.splitlines() if l.startswith("*")]
 
@@ -133,7 +137,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mode", default="raw",
                     choices=["raw", "nofix", "aggressive", "verbose",
-                             "device", "device-nofix", "device-aggressive"])
+                             "device", "device-nofix", "device-aggressive",
+                             "device-verbose"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
