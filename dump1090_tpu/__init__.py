@@ -23,4 +23,15 @@ def decode_captures(*args, **kwargs):
     return f(*args, **kwargs)
 
 
-__all__ = ["decode_capture", "decode_captures", "__version__"]
+def decode_capture_sharded(*args, **kwargs):
+    from .api import decode_capture_sharded as f
+
+    return f(*args, **kwargs)
+
+
+__all__ = [
+    "decode_capture",
+    "decode_captures",
+    "decode_capture_sharded",
+    "__version__",
+]

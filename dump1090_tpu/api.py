@@ -46,16 +46,28 @@ def decode_capture(
     config: DecoderConfig | None = None,
     crcok_only: bool = False,
     batch_buffers: int = 16,
+    device_resolve: bool | None = None,
 ) -> list[ModesMessage]:
-    """Decode one IQ capture (path, bytes, uint8 array, or binary stream)."""
+    """Decode one IQ capture (path, bytes, uint8 array, or binary stream).
+
+    device_resolve: run the sequential candidate resolver on the device too
+    (ops/resolve.py) — bit-identical messages, much faster on TPU backends.
+    None = auto (on for non-CPU backends)."""
     cfg = PipelineConfig(
         decoder=config or DecoderConfig(), batch_buffers=batch_buffers
     )
     p = DemodPipeline(cfg)
+    if device_resolve is None:
+        import jax
+
+        device_resolve = jax.default_backend() not in ("cpu",)
     out: list[ModesMessage] = []
     stream = _as_stream(capture)
     try:
-        p.run(stream, out.append)
+        if device_resolve:
+            p.run_device(stream, out.append)
+        else:
+            p.run(stream, out.append)
     finally:
         if stream is not capture:
             stream.close()
