@@ -92,12 +92,32 @@ def decode_captures(
     *,
     config: DecoderConfig | None = None,
     crcok_only: bool = False,
+    device_resolve: bool | None = None,
 ) -> list[list[ModesMessage]]:
-    """Decode many independent captures with shared device dispatches.
+    """Decode many independent captures.  Per-stream results are
+    bit-identical to `decode_capture`.
 
-    Each dispatch demodulates one reference-geometry buffer from EVERY
-    still-active capture (batch axis = channels); exhausted captures pad
-    with silence.  Host resolution stays per-stream sequential."""
+    Two execution strategies, same results:
+
+      * host resolve (device_resolve=False): each dispatch demodulates one
+        reference-geometry buffer from EVERY still-active capture (batch
+        axis = channels), host resolution per stream — lowest latency when
+        streams trickle in together;
+      * device resolve (device_resolve=True, auto on TPU backends): each
+        stream runs the fused demod+resolve pipeline (ops/resolve.py) with
+        its OWN device-resident ICAO cache; per-stream batching amortizes
+        dispatch cost and JAX's async dispatch overlaps the streams."""
+    if device_resolve is None:
+        import jax as _jax
+
+        device_resolve = _jax.default_backend() not in ("cpu",)
+    if device_resolve:
+        return [
+            decode_capture(
+                c, config=config, crcok_only=crcok_only, device_resolve=True
+            )
+            for c in captures
+        ]
     import jax
     import jax.numpy as jnp
 

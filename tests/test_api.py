@@ -39,3 +39,20 @@ def test_decode_captures_channel_batched_matches_solo():
     for bs, ss in zip(batched, solo):
         for x, y in zip(bs, ss):
             assert dataclasses.asdict(x) == dataclasses.asdict(y)
+
+
+def test_decode_captures_device_resolve_matches_host(modes1_path):
+    """decode_captures with per-stream device pipelines == the host-resolve
+    strategy, field for field."""
+    import dataclasses
+
+    from dump1090_tpu.api import decode_captures
+
+    data = modes1_path.read_bytes()
+    caps = [data, data[: 300_000]]
+    dev = decode_captures(caps, device_resolve=True)
+    host = decode_captures(caps, device_resolve=False)
+    assert [len(s) for s in dev] == [len(s) for s in host]
+    for sd, sh in zip(dev, host):
+        for a, b in zip(sd, sh):
+            assert dataclasses.asdict(a) == dataclasses.asdict(b)

@@ -160,3 +160,27 @@ def test_cli_device_flags_end_to_end(stub_lib, modes1_path, tmp_path):
         for m in decode_capture(data.tobytes(), crcok_only=True)
     )
     assert r.stdout == want
+
+
+def test_cli_device_interactive_tui(stub_lib, modes1_path, tmp_path):
+    """Live capture + --interactive: the TUI renders aircraft decoded from
+    the stub radio (reader thread -> pipeline -> tracker -> screen)."""
+    nbytes = 1 * DATA_LEN_BYTES
+    data = np.fromfile(modes1_path, dtype=np.uint8)[:nbytes]
+    stub_data = tmp_path / "capture.bin"
+    data.tofile(stub_data)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DUMP1090_TPU_LIBRTLSDR"] = str(stub_lib)
+    env["RTLSDR_STUB_DATA"] = str(stub_data)
+    r = subprocess.run(
+        [sys.executable, "-m", "dump1090_tpu", "--device-index", "0",
+         "--interactive", "--interactive-rows", "10"],
+        capture_output=True, timeout=300, env=env, cwd=REPO, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    # modes1's dominant aircraft, present in the first buffer
+    assert "4d2023" in r.stdout
+    assert "Hex" in r.stdout and "Flight" in r.stdout  # table header
