@@ -397,6 +397,10 @@ def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now):
 
 
 RESOLVE_CHUNK = 2048  # candidates per Pallas grid step
+# cap on candidates per sequential pass: 3 packed int32 words per candidate
+# must fit the Pallas scalar-prefetch (SMEM) budget; larger batches segment
+# at buffer boundaries (demod_resolve_batch)
+MAX_SCAN_SEGMENT = 32768
 
 
 def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, ca_in_ref, ct_in_ref,
@@ -592,10 +596,22 @@ def demod_resolve_batch(
     )
 
     backend = _resolve_words_pallas if pallas else _resolve_words_xla
-    words, ca, ct = backend(
-        pf, w1, w2, cache_addr.astype(jnp.int32), cache_ts.astype(jnp.int32),
-        now,
-    )
+    ca = cache_addr.astype(jnp.int32)
+    ct = cache_ts.astype(jnp.int32)
+    if n_flat <= MAX_SCAN_SEGMENT:
+        words, ca, ct = backend(pf, w1, w2, ca, ct, now)
+    else:
+        # very large batches: segment the sequential pass at BUFFER
+        # boundaries (the skip state resets per buffer, so only the ICAO
+        # cache chains across segments) — keeps the Pallas kernel's SMEM
+        # scalar-prefetch footprint bounded regardless of batch size
+        seg = max(mc, (MAX_SCAN_SEGMENT // mc) * mc)
+        parts = []
+        for s in range(0, n_flat, seg):
+            e = min(s + seg, n_flat)
+            w, ca, ct = backend(pf[s:e], w1[s:e], w2[s:e], ca, ct, now)
+            parts.append(w)
+        words = jnp.concatenate(parts)
 
     bit = lambda w, b: (w & b) != 0  # noqa: E731
     att1, crcok1 = bit(words, R_ATT1), bit(words, R_CRCOK1)

@@ -312,3 +312,26 @@ def test_run_device_full_field_equality(modes1_path, fix, aggressive):
     for a, b in zip(dev, host):
         assert dataclasses.asdict(a) == dataclasses.asdict(b)
     assert p_dev.stats == p_host.stats
+
+
+def test_segmented_scan_matches_unsegmented(modes1_path, monkeypatch):
+    """Batches larger than MAX_SCAN_SEGMENT candidates run the sequential
+    pass in buffer-aligned segments with the cache chained; results must be
+    identical to one unsegmented pass."""
+    import dump1090_tpu.ops.resolve as R
+
+    bufs = _modes1_buffers(modes1_path)
+    _, meta_one, msg_one, stats_one, _ = _device_resolve(bufs, crcok_only=False)
+
+    monkeypatch.setattr(R, "MAX_SCAN_SEGMENT", 256)  # force 1-buffer segments
+    # new jit trace: clear demod_resolve_batch's cache for the changed global
+    R.demod_resolve_batch._clear_cache()
+    try:
+        _, meta_seg, msg_seg, stats_seg, _ = _device_resolve(
+            bufs, crcok_only=False
+        )
+    finally:
+        R.demod_resolve_batch._clear_cache()
+    assert np.array_equal(meta_seg, meta_one)
+    assert np.array_equal(msg_seg, msg_one)
+    assert np.array_equal(np.asarray(stats_seg), np.asarray(stats_one))
