@@ -41,7 +41,9 @@ def _modes1_buffers(modes1_path):
 
 
 def _device_resolve(bufs, *, fix=True, aggressive=False, crcok_only=True,
-                    max_out=2048, state=None, pallas=False):
+                    max_out=2048, state=None, pallas=None):
+    # pallas=None: backend-appropriate — the XLA scan on CPU runs, and the
+    # DUMP1090_TEST_TPU suite exercises the real Pallas kernel
     import jax
     import jax.numpy as jnp
 
