@@ -58,9 +58,9 @@ def decode_capture(
     )
     p = DemodPipeline(cfg)
     if device_resolve is None:
-        import jax
+        from .ops.resolve import use_device_resolve
 
-        device_resolve = jax.default_backend() not in ("cpu",)
+        device_resolve = use_device_resolve()
     out: list[ModesMessage] = []
     stream = _as_stream(capture)
     try:
@@ -105,12 +105,13 @@ def decode_captures(
         streams trickle in together;
       * device resolve (device_resolve=True, auto on TPU backends): each
         stream runs the fused demod+resolve pipeline (ops/resolve.py) with
-        its OWN device-resident ICAO cache; per-stream batching amortizes
-        dispatch cost and JAX's async dispatch overlaps the streams."""
+        its OWN device-resident ICAO cache and per-stream batching.
+        Streams decode one after another — prefer the host strategy for
+        MANY short captures (it shares every dispatch across streams)."""
     if device_resolve is None:
-        import jax as _jax
+        from .ops.resolve import use_device_resolve
 
-        device_resolve = _jax.default_backend() not in ("cpu",)
+        device_resolve = use_device_resolve()
     if device_resolve:
         return [
             decode_capture(

@@ -1,10 +1,10 @@
 """Command line interface — flag-compatible with the reference dump1090.
 
 Behavioral contract: main/showHelp/argv loop, dump1090.c:2787-3012.  All 26
-reference flags are accepted with identical spellings and semantics; RTL-SDR
-device capture is the one surface this framework does not provide (no USB
-radio on a TPU host — use --ifile/stdin or the port-30001 network input).
-Framework-specific flags are prefixed --tpu-*.
+reference flags are accepted with identical spellings and semantics,
+including live RTL-SDR capture (io/rtlsdr.py binds librtlsdr at runtime;
+without it the CLI degrades to --ifile/stdin/port-30001 input with a clean
+error).  Framework-specific flags are prefixed --tpu-*.
 """
 
 from __future__ import annotations
@@ -15,11 +15,11 @@ import time
 from .constants import INTERACTIVE_ROWS, INTERACTIVE_TTL
 
 HELP = """\
---device-index <index>   Select RTL device (unsupported here; see --ifile).
---gain <db>              Set gain (accepted for compatibility).
---enable-agc             Enable the Automatic Gain Control (compatibility).
---freq <hz>              Set frequency (compatibility).
---ppm <error>            Set receiver error in parts per million (compatibility).
+--device-index <index>   Select RTL device (default: 0).
+--gain <db>              Set gain (default: max gain. Use -100 for auto-gain).
+--enable-agc             Enable the Automatic Gain Control (default: off).
+--freq <hz>              Set frequency (default: 1090 Mhz).
+--ppm <error>            Set receiver error in parts per million (default: 0).
 --ifile <filename>       Read data from file (use '-' for stdin).
 --loop                   With --ifile, read the same file in a loop.
 --interactive            Interactive mode refreshing data on screen.
@@ -51,8 +51,8 @@ HELP = """\
 --tpu-state-save <file>  Save a state snapshot on exit (checkpoint/resume).
 --tpu-backend <name>     JAX platform to use (e.g. cpu, tpu; default: auto).
 --tpu-device-resolve <m> on|off|auto: run the sequential candidate resolver
-                         on the device too (--raw/--stats file decode only;
-                         auto = on for TPU backends).
+                         on the device too (all file-decode modes except
+                         --debug dumps; auto = on for TPU backends).
 --tpu-shard-time <n>     Shard each buffer's timeline over <n> devices with
                          overlap-save halo exchange (multi-chip decode of
                          one stream; bit-identical to the unsharded path).
@@ -447,10 +447,13 @@ def main(argv: list[str] | None = None) -> int:
             if o.state_load:
                 # the snapshot was restored into the standalone objects
                 # before the device path existed; restore again into the
-                # pipeline's own cache/stats so it is not silently dropped
+                # pipeline's own cache/stats so it is not silently dropped.
+                # Under the state lock: the net thread may already be
+                # decoding into the same tracker/cache
                 from .utils import state as state_mod
 
-                state_mod.load(o.state_load, tracker, cache, stats)
+                with state_lock:
+                    state_mod.load(o.state_load, tracker, cache, stats)
 
         from .io.sources import open_iq_source
 
@@ -486,9 +489,9 @@ def main(argv: list[str] | None = None) -> int:
         # fully-fused device path: demod AND the sequential resolve on the
         # TPU (ops/resolve.py); host only formats hex lines
         if o.device_resolve == "auto":
-            import jax
+            from .ops.resolve import use_device_resolve
 
-            use_dev = jax.default_backend() not in ("cpu",)
+            use_dev = use_device_resolve()
         else:
             use_dev = o.device_resolve == "on"
         fast_dev = solo and (o.raw or o.stats) and use_dev

@@ -352,9 +352,11 @@ def _step_semantics(pf, w1, w2, skip, lookup, add):
     return word, skip
 
 
-def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now):
+def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now,
+                       skip0=jnp.int32(0)):
     """lax.scan backend — exact but slow on TPU (~us/step); used on CPU and
-    as the differential oracle for the Pallas kernel."""
+    as the differential oracle for the Pallas kernel.  skip0 seeds the
+    skip-until state (nonzero only when resuming a mid-buffer segment)."""
 
     def step(carry, xs):
         skip, ca, ct = carry
@@ -390,10 +392,11 @@ def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now):
         )
         return (skip, ca, ct), word
 
-    (_, ca, ct), words = lax.scan(
-        step, (jnp.int32(0), cache_addr, cache_ts), (pf, w1, w2), unroll=4
+    (skip_end, ca, ct), words = lax.scan(
+        step, (jnp.asarray(skip0, jnp.int32), cache_addr, cache_ts),
+        (pf, w1, w2), unroll=4
     )
-    return words, ca, ct
+    return words, ca, ct, skip_end
 
 
 RESOLVE_CHUNK = 2048  # candidates per Pallas grid step
@@ -403,8 +406,9 @@ RESOLVE_CHUNK = 2048  # candidates per Pallas grid step
 MAX_SCAN_SEGMENT = 32768
 
 
-def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, ca_in_ref, ct_in_ref,
-                    words_ref, ca_out_ref, ct_out_ref,
+def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, skip_in_ref,
+                    ca_in_ref, ct_in_ref,
+                    words_ref, ca_out_ref, ct_out_ref, skip_out_ref,
                     ca_ref, ct_ref, skip_ref):
     """Pallas TPU kernel: the candidate loop on the scalar core, ICAO cache
     in SMEM.  ~0.2 us per candidate (vs ~23 us/step for the XLA scan)."""
@@ -414,7 +418,7 @@ def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, ca_in_ref, ct_in_ref,
 
     @pl.when(c == 0)
     def _():
-        skip_ref[0] = 0
+        skip_ref[0] = skip_in_ref[0]
 
         def cp(i, _):
             ca_ref[i] = ca_in_ref[i]
@@ -461,6 +465,8 @@ def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, ca_in_ref, ct_in_ref,
 
     @pl.when(c == nc - 1)
     def _():
+        skip_out_ref[0] = skip_ref[0]
+
         def cp(i, _):
             ca_out_ref[i] = ca_ref[i]
             ct_out_ref[i] = ct_ref[i]
@@ -470,7 +476,7 @@ def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, ca_in_ref, ct_in_ref,
 
 
 def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
-                          interpret: bool = False):
+                          skip0=jnp.int32(0), interpret: bool = False):
     n = pf.shape[0]
     pad = -(-n // RESOLVE_CHUNK) * RESOLVE_CHUNK
     if pad != n:  # pad with invalid candidates (valid bit clear -> no-ops)
@@ -478,10 +484,10 @@ def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
         pf = jnp.concatenate([pf, z])
         w1 = jnp.concatenate([w1, z])
         w2 = jnp.concatenate([w2, z])
-    words, ca, ct = pl.pallas_call(
+    words, ca, ct, skip_end = pl.pallas_call(
         _resolve_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(pad // RESOLVE_CHUNK,),
             in_specs=[],
             out_specs=[
@@ -497,6 +503,9 @@ def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
                     (ICAO_CACHE_LEN,), lambda c, *_: (0,),
                     memory_space=pltpu.SMEM,
                 ),
+                pl.BlockSpec(
+                    (1,), lambda c, *_: (0,), memory_space=pltpu.SMEM,
+                ),
             ],
             scratch_shapes=[
                 pltpu.SMEM((ICAO_CACHE_LEN,), jnp.int32),
@@ -508,14 +517,23 @@ def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
             jax.ShapeDtypeStruct((pad,), jnp.int32),
             jax.ShapeDtypeStruct((ICAO_CACHE_LEN,), jnp.int32),
             jax.ShapeDtypeStruct((ICAO_CACHE_LEN,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(pf, w1, w2, jnp.asarray(now, jnp.int32).reshape(1), cache_addr, cache_ts)
-    return words[:n], ca, ct
+    )(pf, w1, w2, jnp.asarray(now, jnp.int32).reshape(1),
+      jnp.asarray(skip0, jnp.int32).reshape(1), cache_addr, cache_ts)
+    return words[:n], ca, ct, skip_end[0]
 
 
-def _use_pallas_resolve() -> bool:
+def use_device_resolve() -> bool:
+    """Backend policy for the on-device resolver (shared by api.py and the
+    CLI's --tpu-device-resolve auto mode): the Pallas kernel targets TPU;
+    CPU runs keep the host resolver (the XLA scan backend is exact but
+    slow, so it serves tests, not products)."""
     return jax.default_backend() not in ("cpu",)
+
+
+_use_pallas_resolve = use_device_resolve  # internal alias
 
 
 # NOTE: cache_addr/cache_ts are NOT donated although they look like an
@@ -599,17 +617,21 @@ def demod_resolve_batch(
     ca = cache_addr.astype(jnp.int32)
     ct = cache_ts.astype(jnp.int32)
     if n_flat <= MAX_SCAN_SEGMENT:
-        words, ca, ct = backend(pf, w1, w2, ca, ct, now)
+        words, ca, ct, _ = backend(pf, w1, w2, ca, ct, now)
     else:
-        # very large batches: segment the sequential pass at BUFFER
-        # boundaries (the skip state resets per buffer, so only the ICAO
-        # cache chains across segments) — keeps the Pallas kernel's SMEM
-        # scalar-prefetch footprint bounded regardless of batch size
-        seg = max(mc, (MAX_SCAN_SEGMENT // mc) * mc)
+        # very large batches: segment the sequential pass so the Pallas
+        # kernel's SMEM scalar-prefetch footprint stays bounded regardless
+        # of batch size OR candidate density.  Both the ICAO cache and the
+        # skip-until state chain across segments, so the cut may fall
+        # anywhere — including mid-buffer when sticky growth has pushed
+        # max_candidates past the segment size.
+        skip = jnp.int32(0)
         parts = []
-        for s in range(0, n_flat, seg):
-            e = min(s + seg, n_flat)
-            w, ca, ct = backend(pf[s:e], w1[s:e], w2[s:e], ca, ct, now)
+        for s in range(0, n_flat, MAX_SCAN_SEGMENT):
+            e = min(s + MAX_SCAN_SEGMENT, n_flat)
+            w, ca, ct, skip = backend(
+                pf[s:e], w1[s:e], w2[s:e], ca, ct, now, skip
+            )
             parts.append(w)
         words = jnp.concatenate(parts)
 

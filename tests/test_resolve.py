@@ -254,13 +254,14 @@ def test_pallas_kernel_interpret_matches_xla(modes1_path):
     )
     ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
     ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
-    w_x, ca_x, ct_x = R._resolve_words_xla(pf, w1, w2, ca, ct, jnp.int32(NOW))
-    w_p, ca_p, ct_p = R._resolve_words_pallas(
+    w_x, ca_x, ct_x, sk_x = R._resolve_words_xla(pf, w1, w2, ca, ct, jnp.int32(NOW))
+    w_p, ca_p, ct_p, sk_p = R._resolve_words_pallas(
         pf, w1, w2, ca, ct, jnp.int32(NOW), interpret=True
     )
     assert np.array_equal(np.asarray(w_x), np.asarray(w_p))
     assert np.array_equal(np.asarray(ca_x), np.asarray(ca_p))
     assert np.array_equal(np.asarray(ct_x), np.asarray(ct_p))
+    assert int(sk_x) == int(sk_p)
 
 
 def test_pipeline_stream_raw_device(modes1_path, golden_dir):
@@ -318,14 +319,14 @@ def test_run_device_full_field_equality(modes1_path, fix, aggressive):
 
 def test_segmented_scan_matches_unsegmented(modes1_path, monkeypatch):
     """Batches larger than MAX_SCAN_SEGMENT candidates run the sequential
-    pass in buffer-aligned segments with the cache chained; results must be
-    identical to one unsegmented pass."""
+    pass in segments with BOTH the cache and the skip state chained — cuts
+    may fall mid-buffer; results must equal one unsegmented pass."""
     import dump1090_tpu.ops.resolve as R
 
     bufs = _modes1_buffers(modes1_path)
     _, meta_one, msg_one, stats_one, _ = _device_resolve(bufs, crcok_only=False)
 
-    monkeypatch.setattr(R, "MAX_SCAN_SEGMENT", 256)  # force 1-buffer segments
+    monkeypatch.setattr(R, "MAX_SCAN_SEGMENT", 192)  # force MID-BUFFER cuts
     # new jit trace: clear demod_resolve_batch's cache for the changed global
     R.demod_resolve_batch._clear_cache()
     try:
