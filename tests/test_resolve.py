@@ -338,3 +338,39 @@ def test_segmented_scan_matches_unsegmented(modes1_path, monkeypatch):
     assert np.array_equal(meta_seg, meta_one)
     assert np.array_equal(msg_seg, msg_one)
     assert np.array_equal(np.asarray(stats_seg), np.asarray(stats_one))
+
+
+def test_two_bit_fix_corner_all_backends(tmp_path):
+    """Aggressive-mode 2-bit correction (zero occurrences in modes1, so no
+    golden covers it): synthetic frames with 0/1/2 flipped bits through the
+    device path vs the host pipeline — two_bits_fix engages and the decoded
+    sets match."""
+    import io
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+    from dump1090_tpu.utils.synth import frame_to_iq, make_df17_frame
+
+    rng = np.random.default_rng(11)
+    chunks = []
+    for k in range(30):
+        f = bytearray(make_df17_frame(0x400000 + k, metype=11))
+        for p in rng.choice(range(5, 112), k % 3, replace=False):
+            f[p >> 3] ^= 1 << (7 - (p & 7))
+        chunks.append(frame_to_iq(bytes(f), amplitude=90, noise_sigma=2.0,
+                                  phase=float(rng.uniform(0, 6.28)),
+                                  pad_before=3000, pad_after=3000, rng=rng))
+    stream = np.concatenate(chunks)
+    pad = -(-len(stream) // (256 * 1024)) * (256 * 1024) - len(stream)
+    stream = np.concatenate([stream, np.full(pad, 127, np.uint8)]).tobytes()
+
+    cfg = DecoderConfig(aggressive=True)
+    pd = DemodPipeline(PipelineConfig(decoder=cfg, batch_buffers=4))
+    dev = b"".join(pd.stream_raw_device(io.BytesIO(stream)))
+    ph = DemodPipeline(PipelineConfig(decoder=cfg, batch_buffers=4))
+    host = []
+    ph.run(io.BytesIO(stream),
+           lambda m: host.append(f"*{m.msg[:m.msgbits // 8].hex()};")
+           if m.crcok else None)
+    assert dev.decode().split() == host
+    assert pd.stats.two_bits_fix > 0
+    assert pd.stats == ph.stats
