@@ -44,7 +44,8 @@ HELP = """\
 
 --tpu-max-candidates <n> Max preamble candidates per block (default: 256).
 --tpu-batch <n>          IQ buffers demodulated per device dispatch
-                         (default: 16 for files, 1 for stdin/pipes).
+                         (default: 64 for files with device resolve, 16
+                         otherwise, 1 for stdin/pipes).
 --tpu-profile <dir>      Write a jax.profiler trace of the decode to <dir>
                          (view with TensorBoard / xprof).
 --tpu-state-load <file>  Restore tracker/ICAO-cache/stats snapshot at start.
@@ -316,8 +317,18 @@ def main(argv: list[str] | None = None) -> int:
         from .utils.debug import DebugFlags
 
         # batched device dispatch for seekable files; single-buffer (65 ms
-        # latency) for live stdin feeds
-        batch = o.batch if o.batch is not None else (1 if o.filename == "-" else 16)
+        # latency) for live stdin feeds.  The device-resolve path amortizes
+        # per-dispatch overhead best around 64+ buffers (bench.py)
+        if o.device_resolve == "auto":
+            from .ops.resolve import use_device_resolve as _udr
+
+            dev_batching = _udr()
+        else:
+            dev_batching = o.device_resolve == "on"
+        default_batch = 64 if dev_batching else 16
+        batch = o.batch if o.batch is not None else (
+            1 if o.filename == "-" else default_batch
+        )
         pipeline = DemodPipeline(
             PipelineConfig(
                 decoder=dcfg, max_candidates=o.max_candidates, loop=o.loop,
