@@ -65,9 +65,22 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    # persistent XLA compilation cache: the fused program compiles once per
+    # machine, not once per bench run (first-ever compile is 1-4 min)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:
+            cache = os.path.expanduser("~/.cache/dump1090_tpu/jax")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except OSError:
+            pass
 
     from dump1090_tpu.constants import (
         BLOCK_SAMPLES,
