@@ -336,6 +336,13 @@ def main(argv: list[str] | None = None) -> int:
                 # the reference slows --ifile playback in interactive mode
                 # (usleep(5000) per 65.5 ms buffer, dump1090.c:471-477)
                 throttle_s=0.005 if o.interactive else 0.0,
+                # group dispatches on the device-resolve path for seekable
+                # files (amortizes per-round-trip floors); single-group for
+                # live/interactive feeds
+                dispatch_groups=(
+                    8 if dev_batching and not o.interactive
+                    and o.filename != "-" else 1
+                ),
             ),
             debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
         )

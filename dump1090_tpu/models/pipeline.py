@@ -51,6 +51,11 @@ class PipelineConfig:
     # seconds slept per buffer fill — the reference's --interactive playback
     # brake for --ifile (usleep(5000), dump1090.c:471-477)
     throttle_s: float = 0.0
+    # Device-resolve path only: batches chained per device dispatch (one
+    # program runs this many batches, one fetch returns them all).  >1
+    # amortizes per-dispatch/per-fetch round trips for file decode; 1 keeps
+    # latency minimal for live feeds.
+    dispatch_groups: int = 1
 
 
 class DemodPipeline:
@@ -257,14 +262,18 @@ class DemodPipeline:
                     emit(message_from_device(msg_h[i], int(meta_h[i]), int(syn[i])))
 
     def _device_batches(self, stream: BinaryIO, *, crcok_only: bool, packed: bool):
-        """Shared device-pipeline core: dispatch batches chained through the
-        device-resident ICAO cache, fetch each batch's emissions (ONE
-        transfer), detect overflow by exact counts and retry from the
-        pre-batch state with sticky shape growth.
+        """Shared device-pipeline core: dispatch GROUPS of batches chained
+        through the device-resident ICAO cache (ops.resolve
+        demod_resolve_group: one program runs G batches, outputs stacked),
+        fetch each group's emissions in ONE transfer, detect overflow by
+        exact counts and retry from the pre-group state with sticky shape
+        growth.
 
-        Batch k+1 is dispatched from batch k's device-resident output state
+        Group k+1 is dispatched from group k's device-resident output state
         before k's results are fetched, so device compute, the device->host
-        transfer, and the caller's host work overlap.  Yields per batch:
+        transfer, and the caller's host work overlap; grouping amortizes
+        the per-dispatch/per-fetch cost (tunneled runtimes have ~100 ms
+        fixed round-trip floors — see CLAUDE.md).  Yields per batch:
         (count, merged[count, 15]) when packed, else (meta[count],
         msg[count, 14]).  The device cache is synced back to the host cache
         at the end of the stream; stats accumulate into self.stats."""
@@ -273,18 +282,19 @@ class DemodPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.resolve import demod_resolve_batch
+        from ..ops.resolve import demod_resolve_group
 
         nb = max(self.cfg.batch_buffers, 1)
+        ng = max(self.cfg.dispatch_groups, 1)
         if self._mo is None:
             self._mo = max(4096, nb * self._mc // 2)
         dcfg = self.cfg.decoder
         ca = jnp.asarray(self.cache.addr.astype(np.int64).astype(np.int32))
         ct = jnp.asarray(np.clip(self.cache.ts, 0, 2**31 - 1).astype(np.int32))
 
-        def dispatch(x, ca, ct):
-            return demod_resolve_batch(
-                jnp.asarray(x), ca, ct, self.cache.clock(),
+        def dispatch(xg, ca, ct):
+            return demod_resolve_group(
+                jnp.asarray(xg), ca, ct, self.cache.clock(),
                 dcfg.fix_errors, dcfg.aggressive,
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
                 max_candidates=self._mc, max_out=self._mo,
@@ -292,65 +302,69 @@ class DemodPipeline:
             )
 
         def finish(work):
-            """Fetch one batch; returns (payload, redo_state)."""
-            x, state_before, out = work
+            """Fetch one group; returns (per-batch payload list, redo)."""
+            xg, g_real, state_before, out = work
             redo = None
             while True:
                 if packed:
-                    n, count, merged, stats = out[0], out[1], out[2], out[3]
-                    n_h, count_h, merged_h, stats_h = jax.device_get(
-                        [n, count, merged, stats]
-                    )
+                    host = jax.device_get(list(out[:4]))
+                    n_h, count_h, merged_h, stats_h = host
                 else:
-                    n, count, msg, meta, stats = out[:5]
-                    n_h, count_h, msg_h, meta_h, stats_h = jax.device_get(
-                        [n, count, msg, meta, stats]
-                    )
-                if int(n_h.max(initial=0)) <= self._mc and int(count_h) <= self._mo:
+                    host = jax.device_get(list(out[:5]))
+                    n_h, count_h, msg_h, meta_h, stats_h = host
+                if (int(n_h.max(initial=0)) <= self._mc
+                        and int(count_h.max(initial=0)) <= self._mo):
                     break
                 # grow the overflowing shape(s) and replay from the
-                # pre-batch state (exact counts: loud, never silent)
+                # pre-group state (exact counts: loud, never silent)
                 while self._mc < int(n_h.max(initial=0)):
                     self._mc *= 4
-                while self._mo < int(count_h):
+                while self._mo < int(count_h.max(initial=0)):
                     self._mo *= 4
                 ca0, ct0 = state_before
-                out = dispatch(x, ca0, ct0)
+                out = dispatch(xg, ca0, ct0)
                 redo = (out[-2], out[-1])
             for name, d in zip(
                 ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
                  "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
-                stats_h.tolist(),
+                stats_h.sum(axis=0).tolist(),
             ):
                 setattr(self.stats, name, getattr(self.stats, name) + d)
-            c = int(count_h)
-            if packed:
-                return (c, merged_h[:c]), redo
-            return (meta_h[:c], msg_h[:c]), redo
+            payloads = []
+            for g in range(g_real):
+                c = int(count_h[g])
+                if packed:
+                    payloads.append((c, merged_h[g, :c]))
+                else:
+                    payloads.append((meta_h[g, :c], msg_h[g, :c]))
+            return payloads, redo
 
         it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
-        pending = None  # (x, state_before, out)
+        buf_bytes = None
+        pending = None  # (xg, g_real, state_before, out)
         try:
             while True:
-                bufs = list(itertools.islice(it, nb))
+                bufs = list(itertools.islice(it, ng * nb))
                 if bufs:
-                    n_real = len(bufs)
-                    self.samples_in += n_real * BLOCK_SAMPLES
-                    x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
-                    x[:n_real] = np.stack(bufs)
-                    work = (x, (ca, ct), dispatch(x, ca, ct))
-                    ca, ct = work[2][-2], work[2][-1]
+                    buf_bytes = bufs[0].shape[0]
+                    self.samples_in += len(bufs) * BLOCK_SAMPLES
+                    g_real = -(-len(bufs) // nb)
+                    xg = np.full((ng, nb, buf_bytes), 127, dtype=np.uint8)
+                    flat = xg.reshape(ng * nb, buf_bytes)
+                    flat[: len(bufs)] = np.stack(bufs)
+                    work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct))
+                    ca, ct = work[3][-2], work[3][-1]
                 else:
                     work = None
                 if pending is not None:
-                    payload, redo = finish(pending)
-                    yield payload
-                    if redo:  # shapes grew: replay the in-flight batch too
+                    payloads, redo = finish(pending)
+                    yield from payloads
+                    if redo:  # shapes grew: replay the in-flight group too
                         if work is not None:
-                            x, _, _ = work
+                            xg, g_real, _, _ = work
                             ca, ct = redo
-                            work = (x, (ca, ct), dispatch(x, ca, ct))
-                            ca, ct = work[2][-2], work[2][-1]
+                            work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct))
+                            ca, ct = work[3][-2], work[3][-1]
                         else:
                             ca, ct = redo
                 if work is None:

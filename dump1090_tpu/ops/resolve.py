@@ -525,6 +525,50 @@ def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
     return words[:n], ca, ct, skip_end[0]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_len", "max_candidates", "max_out", "crcok_only", "pallas",
+        "packed",
+    ),
+)
+def demod_resolve_group(
+    xg: jax.Array,
+    cache_addr: jax.Array,
+    cache_ts: jax.Array,
+    now: jax.Array,
+    fix_errors: jax.Array,
+    aggressive: jax.Array,
+    *,
+    scan_len: int,
+    max_candidates: int,
+    max_out: int,
+    crcok_only: bool = True,
+    pallas: bool | None = None,
+    packed: bool = True,
+):
+    """G chained demod_resolve_batch steps in ONE program: xg is
+    (G, NB, nbytes) uint8, the ICAO cache threads through the lax.scan
+    carry, and every batch's outputs come back stacked — one dispatch and
+    one fetch per G batches.  This is the sustained-throughput protocol
+    (bench.py measures it); DemodPipeline._device_batches uses it for
+    seekable file decode."""
+
+    def body(carry, xb):
+        ca, ct = carry
+        outs = demod_resolve_batch(
+            xb, ca, ct, now, fix_errors, aggressive,
+            scan_len=scan_len, max_candidates=max_candidates,
+            max_out=max_out, crcok_only=crcok_only, pallas=pallas,
+            packed=packed,
+        )
+        ca, ct = outs[-2], outs[-1]
+        return (ca, ct), outs[:-2]
+
+    (ca, ct), stacked = lax.scan(body, (cache_addr, cache_ts), xg)
+    return stacked + (ca, ct)
+
+
 def use_device_resolve() -> bool:
     """Backend policy for the on-device resolver (shared by api.py and the
     CLI's --tpu-device-resolve auto mode): the Pallas kernel targets TPU;

@@ -374,3 +374,39 @@ def test_two_bit_fix_corner_all_backends(tmp_path):
     assert dev.decode().split() == host
     assert pd.stats.two_bits_fix > 0
     assert pd.stats == ph.stats
+
+
+def test_grouped_dispatch_matches_ungrouped(modes1_path, golden_dir):
+    """dispatch_groups > 1 (the sustained-throughput protocol: G batches
+    per program, one fetch per group) must match the per-batch pipeline:
+    golden raw stream, stats, and the full message stream."""
+    import dataclasses
+    import io
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    data = modes1_path.read_bytes()
+    golden = (golden_dir / "golden_raw.txt").read_bytes()
+
+    pg = DemodPipeline(
+        PipelineConfig(batch_buffers=1, dispatch_groups=3), clock=lambda: NOW
+    )
+    out = b"".join(pg.stream_raw_device(io.BytesIO(data)))
+    assert out == golden
+    assert (pg.stats.valid_preamble, pg.stats.goodcrc) == (415, 211)
+
+    # messages path, grouped vs ungrouped
+    pg2 = DemodPipeline(
+        PipelineConfig(batch_buffers=2, dispatch_groups=2), clock=lambda: NOW
+    )
+    grouped = []
+    pg2.run_device(io.BytesIO(data), grouped.append)
+    p1 = DemodPipeline(
+        PipelineConfig(batch_buffers=2, dispatch_groups=1), clock=lambda: NOW
+    )
+    single = []
+    p1.run_device(io.BytesIO(data), single.append)
+    assert len(grouped) == len(single) > 0
+    for a, b in zip(grouped, single):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+    assert pg2.stats == p1.stats

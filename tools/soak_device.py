@@ -27,6 +27,7 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=60)
     ap.add_argument("--ref", default="/tmp/refbuild/dump1090")
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--groups", type=int, default=8)
     args = ap.parse_args()
 
     raw = np.fromfile("/root/reference/testfiles/modes1.bin", dtype=np.uint8)
@@ -36,14 +37,23 @@ def main() -> int:
 
     from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
 
-    p = DemodPipeline(PipelineConfig(batch_buffers=args.batch))
+    cfg = PipelineConfig(batch_buffers=args.batch,
+                         dispatch_groups=args.groups)
+    p = DemodPipeline(cfg)
     t0 = time.perf_counter()
     ours = b"".join(p.stream_raw_device(io.BytesIO(stream.tobytes())))
     dt = time.perf_counter() - t0
-    sps = p.samples_in / dt
     print(f"ours: {len(ours.splitlines())} messages in {dt:.2f}s "
-          f"({sps/1e6:.0f} Msamples/s incl. host IO + compile-cache hits)",
-          file=sys.stderr)
+          f"(cold: includes program compile)", file=sys.stderr)
+    p2 = DemodPipeline(cfg)
+    t0 = time.perf_counter()
+    ours2 = b"".join(p2.stream_raw_device(io.BytesIO(stream.tobytes())))
+    dt = time.perf_counter() - t0
+    assert ours2 == ours
+    print(f"warm pass: {dt:.2f}s -> {p2.samples_in/dt/1e6:.0f} Msamples/s "
+          f"wall through this harness's tunnel (whose host->device link "
+          f"runs ~50 MB/s once any program has executed — see CLAUDE.md; "
+          f"bench.py measures the chip-speed protocol)", file=sys.stderr)
 
     with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
         stream.tofile(tf.name)
