@@ -89,7 +89,11 @@ def main() -> None:
         ICAO_CACHE_LEN,
     )
     from dump1090_tpu.native import raw_lines_from_fields
-    from dump1090_tpu.ops.resolve import META_LONG, demod_resolve_batch
+    from dump1090_tpu.ops.resolve import (
+        META_LONG,
+        demod_resolve_batch,
+        demod_resolve_group,
+    )
     from dump1090_tpu.parallel.sharding import demod_batch, overlapping_buffers
 
     dev = jax.devices()[0]
@@ -128,19 +132,16 @@ def main() -> None:
     new_per_batch = NB * BLOCK_SAMPLES
     new_per_group = G * new_per_batch
 
-    @jax.jit
     def run_group(x, ca, ct):
-        """G chained batches in one program; outputs stacked for ONE fetch."""
-        def body(carry, xb):
-            ca, ct = carry
-            n, count, merged, stats, ca, ct = demod_resolve_batch(
-                xb, ca, ct, 1_700_000_000, True, False,
-                scan_len=scan_len, max_candidates=MC, max_out=MO,
-                crcok_only=True, packed=True,
-            )
-            return (ca, ct), (n, count, merged, stats)
-        (ca, ct), outs = lax.scan(body, (ca, ct), x)
-        return outs, ca, ct
+        """The PRODUCT group program (ops.resolve.demod_resolve_group, the
+        same function DemodPipeline dispatches): G chained batches, one
+        fetch."""
+        out = demod_resolve_group(
+            x, ca, ct, 1_700_000_000, True, False,
+            scan_len=scan_len, max_candidates=MC, max_out=MO,
+            crcok_only=True, packed=True,
+        )
+        return out[:4], out[-2], out[-1]
 
     ca = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))
     ct = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))
