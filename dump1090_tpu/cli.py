@@ -222,6 +222,22 @@ def parse_args(argv: list[str]) -> Options:
     return o
 
 
+def apply_backend(backend: str) -> None:
+    """Pin the JAX platform for --tpu-backend.
+
+    The env-var route (JAX_PLATFORMS) is NOT enough: a runtime that registers
+    its TPU plugin programmatically (e.g. via sitecustomize) wins over the
+    env var, and an env var already exported by the shell would beat the
+    explicit flag.  `jax.config.update` wins over both — the same mechanism
+    the test conftest uses.  Must run before any jax computation."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = backend  # subprocesses inherit the choice
+    import jax
+
+    jax.config.update("jax_platforms", backend)
+
+
 def snip_mode(level: int) -> None:
     """IQ thinning filter: drop runs of >32 consecutive low samples
     (snipMode, dump1090.c:2226-2244)."""
@@ -266,7 +282,7 @@ def main(argv: list[str] | None = None) -> int:
     import os
 
     if o.backend:
-        os.environ.setdefault("JAX_PLATFORMS", o.backend)
+        apply_backend(o.backend)
 
     # persistent XLA compilation cache: the demod program compiles once per
     # (block size, max_candidates) ever, not once per process.  Only for

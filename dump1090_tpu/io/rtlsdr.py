@@ -225,6 +225,22 @@ class RtlSdrSource:
                 self._lib.rtlsdr_cancel_async(self._dev)
                 if self._thread is not None and self._thread.is_alive():
                     self._thread.join(timeout=5)
+                    if self._thread.is_alive():
+                        # rtlsdr_read_async is still executing: one more
+                        # cancel+join round, then LEAK the handle rather
+                        # than rtlsdr_close() under a live callback (a
+                        # use-after-free inside librtlsdr)
+                        self._lib.rtlsdr_cancel_async(self._dev)
+                        self._thread.join(timeout=5)
+                        if self._thread.is_alive():
+                            import sys
+
+                            sys.stderr.write(
+                                "rtlsdr: reader thread did not exit after "
+                                "cancel; leaking device handle instead of "
+                                "closing under a live async read.\n"
+                            )
+                            return
                 self._lib.rtlsdr_close(self._dev)
             finally:
                 self._dev = None

@@ -276,7 +276,15 @@ class DemodPipeline:
         fixed round-trip floors — see CLAUDE.md).  Yields per batch:
         (count, merged[count, 15]) when packed, else (meta[count],
         msg[count, 14]).  The device cache is synced back to the host cache
-        at the end of the stream; stats accumulate into self.stats."""
+        at the end of the stream; stats accumulate into self.stats.
+
+        Clock granularity: `now` is sampled once per dispatch GROUP (up to
+        dispatch_groups x batch_buffers x 65 ms of signal, ~33 s at the file
+        defaults), coarser than the native resolver's once-per-batch sample.
+        Both are approximations of the reference's per-buffer time();
+        ICAO-cache TTL decisions within ~33 s of the 60 s horizon can differ
+        between the two paths on real-time-paced runs (never within one
+        deterministic file decode, where the clock is frozen)."""
         import itertools
 
         import jax

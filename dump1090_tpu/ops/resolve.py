@@ -571,10 +571,11 @@ def demod_resolve_group(
 
 def use_device_resolve() -> bool:
     """Backend policy for the on-device resolver (shared by api.py and the
-    CLI's --tpu-device-resolve auto mode): the Pallas kernel targets TPU;
-    CPU runs keep the host resolver (the XLA scan backend is exact but
-    slow, so it serves tests, not products)."""
-    return jax.default_backend() not in ("cpu",)
+    CLI's --tpu-device-resolve auto mode): the Pallas kernel targets TPU
+    ONLY — on any other backend (cpu, gpu, ...) the pltpu grid spec cannot
+    lower, so auto mode falls back to the host resolver there (the XLA scan
+    backend is exact but slow; it serves tests, not products)."""
+    return jax.default_backend() == "tpu"
 
 
 _use_pallas_resolve = use_device_resolve  # internal alias
