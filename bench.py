@@ -56,8 +56,9 @@ NB = 128        # reference-geometry buffers per batch (16.8 M samples)
 G = 12          # batches chained per dispatch group (one fetch per group)
 W = 2           # distinct resident input groups, cycled
 T = 8           # steady-state groups timed
-MC = 256        # max preamble candidates per buffer (product default)
-MO = 16384      # max emitted messages per batch
+MC = 256        # max preamble candidates per buffer (dense-air shape)
+MOS = 8192      # max emitted short frames per batch (9-byte rows)
+MOL = 10240     # max emitted long frames per batch (14-byte rows)
 
 
 def log(msg: str) -> None:
@@ -90,9 +91,9 @@ def main() -> None:
     )
     from dump1090_tpu.native import raw_lines_from_fields
     from dump1090_tpu.ops.resolve import (
-        META_LONG,
         demod_resolve_batch,
         demod_resolve_group,
+        interleave_packed,
     )
     from dump1090_tpu.parallel.sharding import demod_batch, overlapping_buffers
 
@@ -134,14 +135,15 @@ def main() -> None:
 
     def run_group(x, ca, ct):
         """The PRODUCT group program (ops.resolve.demod_resolve_group, the
-        same function DemodPipeline dispatches): G chained batches, one
-        fetch."""
+        same function DemodPipeline dispatches): G batches resolved in ONE
+        Pallas kernel pass, one fetch."""
         out = demod_resolve_group(
             x, ca, ct, 1_700_000_000, True, False,
-            scan_len=scan_len, max_candidates=MC, max_out=MO,
+            scan_len=scan_len, max_candidates=MC,
+            max_out_short=MOS, max_out_long=MOL,
             crcok_only=True, packed=True,
         )
-        return out[:4], out[-2], out[-1]
+        return out[:6], out[-2], out[-1]
 
     ca = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))
     ct = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))
@@ -155,19 +157,22 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     def fetch(outs):
-        n, count, merged, stats = jax.device_get(list(outs))
-        assert int(n.max()) <= MC and int(count.max()) <= MO, "overflow"
-        return count, merged
+        n, count, clong, shorts, longs, stats = jax.device_get(list(outs))
+        assert int(n.max()) <= MC, "candidate overflow"
+        assert int((count - clong).max()) <= MOS, "short-frame overflow"
+        assert int(clong.max()) <= MOL, "long-frame overflow"
+        return count, clong, shorts, longs
 
     def format_group(fetched) -> tuple[int, bytes]:
-        count, merged = fetched
+        count, clong, shorts, longs = fetched
         total, out = 0, []
         for k in range(G):
-            c = int(count[k])
-            total += c
-            bits = np.where(merged[k, :c, 14] & META_LONG, 112, 56)
+            msg, bits = interleave_packed(
+                count[k], clong[k], shorts[k], longs[k]
+            )
+            total += msg.shape[0]
             out.append(raw_lines_from_fields(
-                merged[k, :c, :14], bits, np.ones(c, dtype=bool)))
+                msg, bits, np.ones(msg.shape[0], dtype=bool)))
         return total, b"".join(out)
 
     pending = None
@@ -227,14 +232,17 @@ def main() -> None:
     def fused(x, ca, ct, L):
         def body(i, carry):
             ca, ct, acc = carry
-            n, count, merged, stats, ca, ct = demod_resolve_batch(
+            n, count, clong, shorts, longs, stats, ca, ct = demod_resolve_batch(
                 perturb(x, i), ca, ct, 1_700_000_000, True, False,
-                scan_len=scan_len, max_candidates=MC, max_out=MO,
+                scan_len=scan_len, max_candidates=MC,
+                max_out_short=MOS, max_out_long=MOL,
                 crcok_only=True, packed=True,
             )
             acc = (acc + count.astype(jnp.float32)
+                   + clong.astype(jnp.float32)
                    + n.sum().astype(jnp.float32)
-                   + merged.astype(jnp.int32).sum().astype(jnp.float32)
+                   + shorts.astype(jnp.int32).sum().astype(jnp.float32)
+                   + longs.astype(jnp.int32).sum().astype(jnp.float32)
                    + stats.sum().astype(jnp.float32))
             return ca, ct, acc
         return lax.fori_loop(0, L, body, (ca, ct, jnp.float32(0)))
@@ -248,6 +256,102 @@ def main() -> None:
         best = min(best, (time.perf_counter() - t0) / L)
     log(f"device demod+resolve: {best*1e3:.2f} ms/batch -> "
         f"{new_per_batch/best/1e6:.0f} Msamples/s")
+
+    # ---- sparse air: resolve tax must be density-proportional --------------
+    # Realistic quiet-air density (~3 frames per 65 ms buffer vs modes1's
+    # ~209 candidates); the adapted sparse shape is mc=64 (the pipeline's
+    # density adaptation reaches it after 3 quiet groups).
+    from dump1090_tpu.utils.synth import frame_to_iq, make_df17_frame
+
+    rng = np.random.default_rng(5)
+    sparse = np.full((NB, x.shape[1]), 127, dtype=np.uint8)
+    for b in range(NB):
+        at = 600
+        for k in range(3):
+            iq = frame_to_iq(
+                make_df17_frame(0x100000 + 64 * b + k), amplitude=80,
+                noise_sigma=2.0, phase=float(rng.uniform(0, 6.28)), rng=rng,
+            )
+            sparse[b, at : at + len(iq)] = iq
+            at += len(iq) + 70000
+    xs = jax.device_put(jnp.asarray(sparse))
+    MCS = 64
+
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def sparse_demod(x, L):
+        def body(i, acc):
+            cand = demod_batch(perturb(x, i), scan_len=scan_len,
+                               max_candidates=MCS)
+            return acc + sum(
+                f.astype(jnp.int32).sum().astype(jnp.float32) for f in cand
+            )
+        return lax.fori_loop(0, L, body, jnp.float32(0))
+
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def sparse_fused(x, ca, ct, L):
+        def body(i, carry):
+            ca, ct, acc = carry
+            n, count, clong, shorts, longs, stats, ca, ct = demod_resolve_batch(
+                perturb(x, i), ca, ct, 1_700_000_000, True, False,
+                scan_len=scan_len, max_candidates=MCS,
+                max_out_short=2048, max_out_long=2048,
+                crcok_only=True, packed=True,
+            )
+            acc = (acc + count.astype(jnp.float32)
+                   + n.sum().astype(jnp.float32)
+                   + shorts.astype(jnp.int32).sum().astype(jnp.float32)
+                   + longs.astype(jnp.int32).sum().astype(jnp.float32)
+                   + stats.sum().astype(jnp.float32))
+            return ca, ct, acc
+        return lax.fori_loop(0, L, body, (ca, ct, jnp.float32(0)))
+
+    L = 32
+    _ = float(jax.device_get(sparse_demod(xs, L)))
+    t_d = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(jax.device_get(sparse_demod(xs, L)))
+        t_d = min(t_d, (time.perf_counter() - t0) / L)
+    _ = float(jax.device_get(sparse_fused(xs, ca, ct, L)[2]))
+    t_f = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(jax.device_get(sparse_fused(xs, ca, ct, L)[2]))
+        t_f = min(t_f, (time.perf_counter() - t0) / L)
+    log(f"sparse air (3 msgs/buffer, mc={MCS}): demod {t_d*1e3:.2f} ms, "
+        f"demod+resolve {t_f*1e3:.2f} ms -> resolve tax {(t_f-t_d)*1e3:.2f} ms"
+        f"/batch ({new_per_batch/t_f/1e6:.0f} Msamples/s e2e)")
+
+    # ---- cold-file CLI end-to-end (disk -> raw lines, nothing resident) ----
+    # Run the product CLI in a fresh process twice: the first warms the
+    # persistent XLA cache for the CLI's own shapes, the second's stderr
+    # meter is the cold-file number (includes file read, preload upload,
+    # cache-hit program load, decode, formatting).
+    import subprocess
+    import tempfile
+
+    if FIXTURE.exists():
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tf:
+            for _ in range(60):
+                tf.write(raw.tobytes())
+            cold_path = tf.name
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/dump1090_tpu/jax"),
+        )
+        for t_run in range(2):
+            r = subprocess.run(
+                [sys.executable, "-m", "dump1090_tpu", "--ifile", cold_path,
+                 "--stats"],
+                capture_output=True, text=True, timeout=1200, env=env,
+                cwd=str(Path(__file__).resolve().parent),
+            )
+        os.unlink(cold_path)
+        meter = [ln for ln in r.stderr.splitlines() if ln.startswith("#")]
+        log(f"cold-file CLI (43 MB from disk, warmed code cache): "
+            f"{meter[-1] if meter else r.stderr[-200:]}")
 
     print(json.dumps({
         "metric": "sustained_e2e",

@@ -103,22 +103,21 @@ def decode_captures(
         reference-geometry buffer from EVERY still-active capture (batch
         axis = channels), host resolution per stream — lowest latency when
         streams trickle in together;
-      * device resolve (device_resolve=True, auto on TPU backends): each
-        stream runs the fused demod+resolve pipeline (ops/resolve.py) with
-        its OWN device-resident ICAO cache and per-stream batching.
-        Streams decode one after another — prefer the host strategy for
-        MANY short captures (it shares every dispatch across streams)."""
+      * device resolve (device_resolve=True, auto on TPU backends): ALL
+        streams share each fused demod+resolve dispatch
+        (ops.resolve.demod_resolve_streams) — every stream contributes its
+        next batch of buffers to one program, and the single Pallas kernel
+        pass resolves them with PER-STREAM ICAO caches swapped in SMEM at
+        stream boundaries.  ceil(longest/batch) dispatches total, however
+        many captures there are."""
     if device_resolve is None:
         from .ops.resolve import use_device_resolve
 
         device_resolve = use_device_resolve()
     if device_resolve:
-        return [
-            decode_capture(
-                c, config=config, crcok_only=crcok_only, device_resolve=True
-            )
-            for c in captures
-        ]
+        return _decode_captures_device(
+            captures, config=config, crcok_only=crcok_only
+        )
     import jax
     import jax.numpy as jnp
 
@@ -183,6 +182,109 @@ def decode_captures(
     return results
 
 
+def _decode_captures_device(
+    captures: Sequence, *, config: DecoderConfig | None, crcok_only: bool,
+    batch_buffers: int = 4,
+) -> list[list[ModesMessage]]:
+    """decode_captures, device edition: every still-active stream's next
+    `batch_buffers` buffers join ONE fused demod+resolve dispatch
+    (ops.resolve.demod_resolve_streams); per-stream caches live on the
+    device as (S, ICAO_CACHE_LEN) rows.  Exhausted streams contribute
+    silence (zero candidates, zero kernel steps) until all finish.
+    Per-stream results are bit-identical to decode_capture."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .constants import ICAO_CACHE_LEN
+    from .io.sources import iq_buffers
+    from .models.decoder import message_from_device
+    from .ops import crc as crc_ops
+    from .ops.resolve import META_LONG, demod_resolve_streams
+
+    dcfg = config or DecoderConfig()
+    s_n = len(captures)
+    nb = batch_buffers
+    shapes = {"mc": PipelineConfig().max_candidates, "mo": 4096}
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+    buf_bytes = BUF_SAMPLES * 2
+
+    streams = [_as_stream(c) for c in captures]
+    iters = [iq_buffers(s) for s in streams]
+    states = [_StreamState() for _ in captures]
+    now = int(__import__("time").time())
+
+    ca = jnp.zeros((s_n, ICAO_CACHE_LEN), jnp.int32)
+    ct = jnp.zeros((s_n, ICAO_CACHE_LEN), jnp.int32)
+    try:
+        while True:
+            xs = np.full((s_n, nb, buf_bytes), 127, dtype=np.uint8)
+            n_live = 0
+            for k, (it, stt) in enumerate(zip(iters, states)):
+                if stt.done:
+                    continue
+                got = list(itertools.islice(it, nb))
+                if not got:
+                    stt.done = True
+                    continue
+                n_live += 1
+                for j, b in enumerate(got):
+                    xs[k, j] = b
+                if len(got) < nb:
+                    stt.done = True
+            if n_live == 0:
+                break
+            while True:
+                n_d, count_d, msg_d, meta_d, stats_d, ca2, ct2 = (
+                    demod_resolve_streams(
+                        jnp.asarray(xs), ca, ct, now,
+                        dcfg.fix_errors, dcfg.aggressive,
+                        scan_len=scan_len, max_candidates=shapes["mc"],
+                        max_out=shapes["mo"], crcok_only=False,
+                    )
+                )
+                n_h, count_h = jax.device_get([n_d, count_d])
+                if int(n_h.max()) > shapes["mc"]:
+                    shapes["mc"] *= 4  # sticky growth; retry from pre state
+                    continue
+                if int(count_h.max()) > shapes["mo"]:
+                    shapes["mo"] *= 4
+                    continue
+                break
+            ca, ct = ca2, ct2
+            msg_h, meta_h = jax.device_get([msg_d, meta_d])
+            for k, stt in enumerate(states):
+                c = int(count_h[k])
+                if c == 0:
+                    continue
+                meta_c, msg_c = meta_h[k, :c], msg_h[k, :c]
+                syn = np.empty(c, dtype=np.uint32)
+                is_long = (meta_c & META_LONG) != 0
+                if is_long.any():
+                    syn[is_long] = crc_ops.batch_syndromes(msg_c[is_long], 112)
+                if (~is_long).any():
+                    syn[~is_long] = crc_ops.batch_syndromes(msg_c[~is_long], 56)
+                for i in range(c):
+                    stt.messages.append(
+                        message_from_device(
+                            msg_c[i], int(meta_c[i]), int(syn[i])
+                        )
+                    )
+    finally:
+        for s, c in zip(streams, captures):
+            if s is not c:
+                s.close()
+
+    results = []
+    for stt in states:
+        msgs = stt.messages
+        if crcok_only:
+            msgs = [m for m in msgs if m.crcok]
+        results.append(msgs)
+    return results
+
+
 def _redemod_with_retry(buf: np.ndarray, mc: int, mc_box: dict) -> BlockCandidates:
     import jax.numpy as jnp
 
@@ -237,6 +339,7 @@ def decode_capture_sharded(
     emit=None,
     progress: dict | None = None,
     lock=None,
+    device_resolve: bool | None = None,
 ) -> list[ModesMessage]:
     """Decode ONE long capture with each buffer's timeline sharded over a
     device mesh — the multi-chip path for a single stream (SURVEY §2.5:
@@ -247,16 +350,25 @@ def decode_capture_sharded(
     256 KiB buffers (so the per-buffer scan-range and skip/retry semantics of
     dump1090.c:1593/2968-2990 are preserved exactly), each row's scan range
     [0, SCAN_POSITIONS) is owned by sp shards with 240-sample halos, and the
-    merged candidate stream is replayed sequentially on the host in buffer
-    order against one ICAO cache.
+    merged candidate stream is replayed sequentially in buffer order against
+    one ICAO cache.
+
+    The host uploads only the raw uint8 IQ bytes, sharded (dp, sp) — each
+    shard computes its own magnitudes locally (no host magnitude round-trip).
+    With device_resolve (None = auto, on for TPU backends) the sequential
+    replay runs ON DEVICE too (ops.resolve.resolve_candidate_segments: XLA
+    gathers the per-shard candidates over ICI, the scalar-core kernel
+    replays them, only emitted messages reach the host); otherwise the
+    merged candidate stream is replayed by the host resolver.
 
     mesh: a jax.sharding.Mesh with ("dp", "sp") axes; default = all devices
     on the sp axis (sp= overrides).  emit: optional callback invoked with
     every message in stream order (in addition to the returned list).
     lock: optional (reentrant) lock held across each resolve step when
     another thread shares the cache/stats (the CLI passes its state lock).
-    Per-shard candidate overflow is detected by exact counts and retried
-    with sticky max_candidates growth, like every other decode path.
+    Per-shard candidate overflow and emitted-message overflow are detected
+    by exact counts and retried with sticky growth, like every other decode
+    path.
     """
     import contextlib
     import jax
@@ -264,7 +376,6 @@ def decode_capture_sharded(
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from .io.sources import iq_buffers
-    from .ops.magnitude import magnitude_from_iq
     from .parallel.sharding import HALO, make_sharded_demod, merge_sharded_rows
 
     if mesh is None:
@@ -275,8 +386,12 @@ def decode_capture_sharded(
     dp_n, sp_n = mesh.shape["dp"], mesh.shape["sp"]
     shard_samples = -(-SCAN_POSITIONS // sp_n)
     total = sp_n * shard_samples  # padded timeline (scan clipped by mask)
+    if device_resolve is None:
+        from .ops.resolve import use_device_resolve
 
-    mc_box = {"mc": max_candidates}
+        device_resolve = use_device_resolve()
+
+    mc_box = {"mc": max_candidates, "mo": 4096}
     fns = {}
 
     def get_fn():
@@ -284,11 +399,10 @@ def decode_capture_sharded(
         if mc not in fns:
             fns[mc] = make_sharded_demod(
                 mesh, shard_samples=shard_samples, max_candidates=mc,
-                scan_total=SCAN_POSITIONS, with_tail=True,
+                scan_total=SCAN_POSITIONS, with_tail=True, from_iq=True,
             )
         return fns[mc]
 
-    mag_j = jax.jit(jax.vmap(magnitude_from_iq))
     lock = lock if lock is not None else contextlib.nullcontext()
 
     dcfg = config or DecoderConfig()
@@ -308,6 +422,9 @@ def decode_capture_sharded(
     except Exception:
         resolver = resolve_block
 
+    ca = jnp.asarray(cache.addr.astype(np.int64).astype(np.int32))
+    ct = jnp.asarray(np.clip(cache.ts, 0, 2**31 - 1).astype(np.int32))
+
     stream = _as_stream(capture)
     try:
         import itertools
@@ -324,20 +441,30 @@ def decode_capture_sharded(
                 progress["samples"] = (
                     progress.get("samples", 0) + n_real * BLOCK_SAMPLES
                 )
-            x = np.full((dp_n, bufs[0].shape[0]), 127, dtype=np.uint8)
-            x[:n_real] = np.stack(bufs)
-            m = np.asarray(mag_j(jnp.asarray(x)), dtype=np.int32)
-            m_pad = np.zeros((dp_n, total + HALO), dtype=np.int32)
-            m_pad[:, : m.shape[1]] = m[:, : total + HALO]
-            mm_main = jax.device_put(
-                m_pad[:, :total], NamedSharding(mesh, P("dp", "sp"))
+            buf_bytes = bufs[0].shape[0]
+            # raw IQ bytes, padded with 127s (zero magnitude) to the
+            # sharded timeline geometry; 2 bytes per sample
+            x = np.full((dp_n, 2 * (total + HALO)), 127, dtype=np.uint8)
+            for r, b in enumerate(bufs):
+                x[r, : min(buf_bytes, 2 * (total + HALO))] = b[
+                    : 2 * (total + HALO)
+                ]
+            iq_main = jax.device_put(
+                np.ascontiguousarray(x[:, : 2 * total]),
+                NamedSharding(mesh, P("dp", "sp")),
             )
             tail = jax.device_put(
-                np.ascontiguousarray(m_pad[:, total : total + HALO]),
+                np.ascontiguousarray(x[:, 2 * total :]),
                 NamedSharding(mesh, P("dp", None)),
             )
+            if device_resolve:
+                ca, ct = _resolve_group_on_device(
+                    get_fn, iq_main, tail, mc_box, dp_n, sp_n, n_real,
+                    ca, ct, cache, dcfg, st, sink, lock,
+                )
+                continue
             while True:
-                cand = get_fn()(mm_main, tail)
+                cand = get_fn()(iq_main, tail)
                 try:
                     # merges EVERY row before any resolve, so an overflow
                     # retry never observes partially-advanced cache state
@@ -353,8 +480,79 @@ def decode_capture_sharded(
                 with lock:
                     resolver(bc, cache, dcfg, st, sink)
     finally:
+        if device_resolve:
+            # device cache -> host cache, like DemodPipeline._device_batches
+            ca_h, ct_h = jax.device_get([ca, ct])
+            cache.addr[:] = ca_h.astype(np.uint32)
+            cache.ts[:] = ct_h.astype(np.int64)
         if stream is not capture:
             stream.close()
     if crcok_only:
         return [m for m in out if m.crcok]
     return out
+
+
+def _resolve_group_on_device(get_fn, iq_main, tail, mc_box, dp_n, sp_n,
+                             n_real, ca, ct, cache, dcfg, st, sink, lock):
+    """One dp-group of the sharded decode with the sequential replay on
+    device: sharded demod -> per-shard candidate segments ->
+    ops.resolve.resolve_candidate_segments (rows = reference buffers; skip
+    resets per row, ICAO cache chains across everything) -> emitted
+    messages decoded statelessly on the host.  Exact-count overflow retries
+    re-run from the pre-group cache state."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.decoder import message_from_device
+    from .ops import crc as crc_ops
+    from .ops.resolve import META_LONG, resolve_candidate_segments
+
+    while True:
+        cand = get_fn()(iq_main, tail)
+        mc = mc_box["mc"]
+        s_n = dp_n * sp_n
+
+        def seg(a):
+            return jnp.reshape(a, (s_n, mc) + a.shape[2:])
+
+        row_id = jnp.repeat(jnp.arange(dp_n, dtype=jnp.int32), sp_n)
+        count, msg, meta, stats_d, ca2, ct2 = resolve_candidate_segments(
+            seg(cand.pos), seg(cand.msg1), seg(cand.errors1),
+            seg(cand.gate1), seg(cand.msg2), seg(cand.errors2),
+            seg(cand.gate2), jnp.reshape(cand.n, (s_n,)), row_id,
+            ca, ct, cache.clock(), dcfg.fix_errors, dcfg.aggressive,
+            n_rows=dp_n, max_out=mc_box["mo"], crcok_only=False,
+        )
+        n_h, count_h = jax.device_get([cand.n, count])
+        if int(n_h.max()) > mc:
+            if mc >= SCAN_POSITIONS // 2 + 1:
+                raise OverflowError(
+                    f"candidate overflow: shard reported {int(n_h.max())} "
+                    f"preambles > max_candidates {mc}"
+                )
+            mc_box["mc"] *= 4
+            continue
+        if int(count_h) > mc_box["mo"]:
+            mc_box["mo"] *= 4
+            continue
+        break
+    msg_h, meta_h, stats_h = jax.device_get([msg, meta, stats_d])
+    for name, d in zip(
+        ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
+         "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
+        stats_h.tolist(),
+    ):
+        setattr(st, name, getattr(st, name) + d)
+    c = int(count_h)
+    if c:
+        meta_c, msg_c = meta_h[:c], msg_h[:c]
+        syn = np.empty(c, dtype=np.uint32)
+        is_long = (meta_c & META_LONG) != 0
+        if is_long.any():
+            syn[is_long] = crc_ops.batch_syndromes(msg_c[is_long], 112)
+        if (~is_long).any():
+            syn[~is_long] = crc_ops.batch_syndromes(msg_c[~is_long], 56)
+        with lock:
+            for i in range(c):
+                sink(message_from_device(msg_c[i], int(meta_c[i]), int(syn[i])))
+    return ca2, ct2

@@ -536,7 +536,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             if sdr is not None:
-                pipeline.run_source(sdr.buffers(), on_message)
+                if use_dev and not o.debug:
+                    # live capture with demod AND sequential resolve on the
+                    # device (65 ms buffer latency; upload of buffer N+1
+                    # overlaps buffer N's resolve on the ingest thread)
+                    pipeline.run_source_device(sdr.buffers(), on_message)
+                else:
+                    pipeline.run_source(sdr.buffers(), on_message)
             elif o.shard_time:
                 # multi-chip single-stream decode: timeline sharded over the
                 # sp mesh axis with ppermute halo exchange (SURVEY §2.5)

@@ -83,7 +83,9 @@ class DemodPipeline:
         # working candidate shape; sticky growth on overflow lives on the
         # INSTANCE so a PipelineConfig shared across pipelines is not mutated
         self._mc = self.cfg.max_candidates
-        self._mo = None  # emitted-message shape for the device-resolve path
+        self._mo = None   # emitted-message shape (full-fidelity device path)
+        self._mos = None  # emitted short-frame rows (packed device path)
+        self._mol = None  # emitted long-frame rows (packed device path)
         self.stats = DecoderStats()
         self.samples_in = 0      # new samples demodulated (throughput meter)
         self.cache = IcaoCache(clock=clock)
@@ -220,20 +222,34 @@ class DemodPipeline:
     def stream_raw_device(self, stream: BinaryIO):
         """Bulk device path: yield `*<hex>;\\n` bytes per batch with BOTH the
         O(samples) demodulation and the O(candidates) sequential resolve on
-        the device (ops/resolve.py); the host only formats the emitted
-        good-CRC messages (one packed uint8 array per batch)."""
+        the device (ops/resolve.py); the host only re-interleaves the packed
+        short/long frame arrays (ops.resolve.interleave_packed) and formats
+        hex — the split wire format moves ~25% fewer bytes than uniform
+        14-byte rows on typical traffic."""
         from ..native import raw_lines_from_fields
-        from ..ops.resolve import META_LONG
+        from ..ops.resolve import interleave_packed
 
-        for fetched in self._device_batches(stream, crcok_only=True, packed=True):
-            _, merged_h = fetched
-            c = merged_h.shape[0]
-            bits = np.where(merged_h[:, 14] & META_LONG, 112, 56)
+        for count, count_long, shorts, longs in self._device_batches(
+            stream, crcok_only=True, packed=True
+        ):
+            msg, bits = interleave_packed(count, count_long, shorts, longs)
             yield raw_lines_from_fields(
-                merged_h[:, :14], bits, np.ones(c, dtype=bool)
+                msg, bits, np.ones(msg.shape[0], dtype=bool)
             )
 
-    def run_device(self, stream: BinaryIO, emit: Callable[[ModesMessage], None]) -> None:
+    def run_source_device(self, buffers, emit: Callable[[ModesMessage], None]) -> None:
+        """Device-resolve twin of run_source: decode an iterable of
+        pre-framed uint8[BUF_BYTES] buffers (e.g. a live io.rtlsdr
+        RtlSdrSource) with demod AND the sequential resolve on the TPU.
+        With the live defaults (batch_buffers=1, dispatch_groups=1) the
+        upload of buffer N+1 happens on the ingest thread while buffer N
+        resolves on the device — 65 ms buffer latency, like the reference's
+        rtlsdrCallback -> detectModeS hand-off (dump1090.c:442-458,
+        2968-2990)."""
+        self.run_device(None, emit, buffers=buffers)
+
+    def run_device(self, stream: BinaryIO | None,
+                   emit: Callable[[ModesMessage], None], buffers=None) -> None:
         """Full-fidelity device path: every message the reference hands to
         useModesMessage (good AND bad CRC), as ModesMessage objects in scan
         order, with demod + sequential resolve on the device.  Field decode
@@ -245,7 +261,7 @@ class DemodPipeline:
         from .decoder import message_from_device
 
         for meta_h, msg_h in self._device_batches(
-            stream, crcok_only=False, packed=False
+            stream, crcok_only=False, packed=False, buffers=buffers
         ):
             c = meta_h.shape[0]
             if c == 0:
@@ -261,7 +277,8 @@ class DemodPipeline:
                 for i in range(c):
                     emit(message_from_device(msg_h[i], int(meta_h[i]), int(syn[i])))
 
-    def _device_batches(self, stream: BinaryIO, *, crcok_only: bool, packed: bool):
+    def _device_batches(self, stream: BinaryIO | None, *, crcok_only: bool,
+                        packed: bool, buffers=None):
         """Shared device-pipeline core: dispatch GROUPS of batches chained
         through the device-resident ICAO cache (ops.resolve
         demod_resolve_group: one program runs G batches, outputs stacked),
@@ -274,9 +291,11 @@ class DemodPipeline:
         transfer, and the caller's host work overlap; grouping amortizes
         the per-dispatch/per-fetch cost (tunneled runtimes have ~100 ms
         fixed round-trip floors — see CLAUDE.md).  Yields per batch:
-        (count, merged[count, 15]) when packed, else (meta[count],
-        msg[count, 14]).  The device cache is synced back to the host cache
-        at the end of the stream; stats accumulate into self.stats.
+        (count, count_long, shorts, longs) when packed (see
+        ops.resolve.interleave_packed for reconstruction), else
+        (meta[count], msg[count, 14]).  The device cache is synced back to
+        the host cache at the end of the stream; stats accumulate into
+        self.stats.
 
         Clock granularity: `now` is sampled once per dispatch GROUP (up to
         dispatch_groups x batch_buffers x 65 ms of signal, ~33 s at the file
@@ -296,6 +315,9 @@ class DemodPipeline:
         ng = max(self.cfg.dispatch_groups, 1)
         if self._mo is None:
             self._mo = max(4096, nb * self._mc // 2)
+        if self._mos is None:
+            self._mos = max(2048, nb * self._mc // 4)
+            self._mol = max(2048, nb * self._mc // 4)
         dcfg = self.cfg.decoder
         ca = jnp.asarray(self.cache.addr.astype(np.int64).astype(np.int32))
         ct = jnp.asarray(np.clip(self.cache.ts, 0, 2**31 - 1).astype(np.int32))
@@ -306,8 +328,29 @@ class DemodPipeline:
                 dcfg.fix_errors, dcfg.aggressive,
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
                 max_candidates=self._mc, max_out=self._mo,
+                max_out_short=self._mos, max_out_long=self._mol,
                 crcok_only=crcok_only, packed=packed,
             )
+
+        # density adaptation: consecutive groups whose peaks sit far below
+        # the static shapes shrink them (quiet air stops paying dense-shaped
+        # demod/emission cost); any overflow grows them back immediately.
+        quiet_groups = [0]
+
+        def adapt_down(n_h, peak_short, peak_long, peak_total):
+            if (int(n_h.max(initial=0)) * 8 <= self._mc
+                    and peak_short * 8 <= self._mos
+                    and peak_long * 8 <= self._mol
+                    and peak_total * 8 <= self._mo):
+                quiet_groups[0] += 1
+            else:
+                quiet_groups[0] = 0
+            if quiet_groups[0] >= 3:
+                quiet_groups[0] = 0
+                self._mc = max(64, self._mc // 4)
+                self._mos = max(2048, self._mos // 4)
+                self._mol = max(2048, self._mol // 4)
+                self._mo = max(4096, self._mo // 4)
 
         def finish(work):
             """Fetch one group; returns (per-batch payload list, redo)."""
@@ -315,23 +358,35 @@ class DemodPipeline:
             redo = None
             while True:
                 if packed:
-                    host = jax.device_get(list(out[:4]))
-                    n_h, count_h, merged_h, stats_h = host
+                    host = jax.device_get(list(out[:5]))
+                    n_h, count_h, clong_h, shorts_h, longs_h = host
+                    stats_h = jax.device_get(out[5])
+                    cs_peak = int((count_h - clong_h).max(initial=0))
+                    cl_peak = int(clong_h.max(initial=0))
+                    ct_peak = 0
+                    ok = (cs_peak <= self._mos and cl_peak <= self._mol)
                 else:
                     host = jax.device_get(list(out[:5]))
                     n_h, count_h, msg_h, meta_h, stats_h = host
-                if (int(n_h.max(initial=0)) <= self._mc
-                        and int(count_h.max(initial=0)) <= self._mo):
+                    cs_peak = cl_peak = 0
+                    ct_peak = int(count_h.max(initial=0))
+                    ok = ct_peak <= self._mo
+                if int(n_h.max(initial=0)) <= self._mc and ok:
                     break
                 # grow the overflowing shape(s) and replay from the
                 # pre-group state (exact counts: loud, never silent)
                 while self._mc < int(n_h.max(initial=0)):
                     self._mc *= 4
-                while self._mo < int(count_h.max(initial=0)):
+                while self._mos < cs_peak:
+                    self._mos *= 4
+                while self._mol < cl_peak:
+                    self._mol *= 4
+                while self._mo < ct_peak:
                     self._mo *= 4
                 ca0, ct0 = state_before
                 out = dispatch(xg, ca0, ct0)
                 redo = (out[-2], out[-1])
+            adapt_down(n_h, cs_peak, cl_peak, ct_peak)
             for name, d in zip(
                 ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
                  "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
@@ -342,24 +397,27 @@ class DemodPipeline:
             for g in range(g_real):
                 c = int(count_h[g])
                 if packed:
-                    payloads.append((c, merged_h[g, :c]))
+                    payloads.append(
+                        (c, int(clong_h[g]), shorts_h[g], longs_h[g])
+                    )
                 else:
                     payloads.append((meta_h[g, :c], msg_h[g, :c]))
             return payloads, redo
 
-        it = iq_buffers(stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s)
-        buf_bytes = None
+        if buffers is not None:
+            it = iter(buffers)
+        else:
+            it = iq_buffers(
+                stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s
+            )
         pending = None  # (xg, g_real, state_before, out)
+        groups = self._ingest_groups(stream, it, ng, nb)
         try:
             while True:
-                bufs = list(itertools.islice(it, ng * nb))
-                if bufs:
-                    buf_bytes = bufs[0].shape[0]
-                    self.samples_in += len(bufs) * BLOCK_SAMPLES
-                    g_real = -(-len(bufs) // nb)
-                    xg = np.full((ng, nb, buf_bytes), 127, dtype=np.uint8)
-                    flat = xg.reshape(ng * nb, buf_bytes)
-                    flat[: len(bufs)] = np.stack(bufs)
+                item = next(groups, None)
+                if item is not None:
+                    xg, g_real, n_bufs = item
+                    self.samples_in += n_bufs * BLOCK_SAMPLES
                     work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct))
                     ca, ct = work[3][-2], work[3][-1]
                 else:
@@ -379,11 +437,110 @@ class DemodPipeline:
                     return
                 pending = work
         finally:
+            groups.close()
             # device cache -> host cache (keeps --tpu-state-save and any
             # later host-side decoding consistent)
             ca_h, ct_h = jax.device_get([ca, ct])
             self.cache.addr[:] = ca_h.astype(np.uint32)
             self.cache.ts[:] = ct_h.astype(np.int64)
+
+    # uploaded IQ this large is preloaded to the device before the first
+    # dispatch when the source is a regular file (overridable via
+    # DUMP1090_TPU_PRELOAD_BYTES); larger/unseekable sources stream through
+    # a reader thread instead
+    PRELOAD_CAP_BYTES = 1536 << 20
+
+    def _ingest_groups(self, stream, it, ng: int, nb: int):
+        """Generator of device-resident dispatch groups (xg, g_real, n_bufs)
+        with host->device upload OVERLAPPED against compute — the
+        framework's form of the reference's reader-thread/decoder overlap
+        (dump1090.c:436-527, 2968-2990).
+
+        Two strategies:
+
+          * preload (regular files up to PRELOAD_CAP_BYTES, no --loop/
+            throttle): frame and upload EVERY group before the first
+            dispatch.  On runtimes where the host->device link degrades
+            once the first program has executed (the tunneled axon runtime
+            drops ~30x, see CLAUDE.md), uploading while the device is still
+            idle is the difference between ingest-bound and compute-bound
+            cold-file decode;
+          * streaming (stdin, sockets, --loop, throttled playback): a
+            reader thread frames and uploads group g+1 while the main
+            thread dispatches/fetches g — one group of lookahead, bounded
+            memory."""
+        import itertools
+        import os
+        import queue
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        def make_group(bufs):
+            buf_bytes = bufs[0].shape[0]
+            g_real = -(-len(bufs) // nb)
+            xg = np.full((ng, nb, buf_bytes), 127, dtype=np.uint8)
+            xg.reshape(ng * nb, buf_bytes)[: len(bufs)] = np.stack(bufs)
+            return jax.device_put(jnp.asarray(xg)), g_real, len(bufs)
+
+        preload = False
+        if not self.cfg.loop and self.cfg.throttle_s == 0:
+            try:
+                fileno = stream.fileno() if stream is not None else None
+                if fileno is not None and os.fstat(fileno).st_size <= int(
+                    os.environ.get(
+                        "DUMP1090_TPU_PRELOAD_BYTES", self.PRELOAD_CAP_BYTES
+                    )
+                ) and stream.seekable():
+                    preload = True
+            except (OSError, AttributeError, ValueError):
+                preload = False
+
+        if preload:
+            staged = []
+            while True:
+                bufs = list(itertools.islice(it, ng * nb))
+                if not bufs:
+                    break
+                staged.append(make_group(bufs))
+            yield from staged
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+        stop = threading.Event()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    bufs = list(itertools.islice(it, ng * nb))
+                    item = make_group(bufs) if bufs else None
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if item is None:
+                        return
+            except BaseException as e:  # surfaced on the consumer side
+                try:
+                    q.put(e, timeout=5)
+                except queue.Full:
+                    pass
+
+        t = threading.Thread(target=reader, name="iq-upload", daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def stream_records(self, stream: BinaryIO):
         """Bulk fast path: yield one packed native Record array per buffer,

@@ -17,35 +17,54 @@ before the sequential part:
   * CRC-24 syndromes of both demod passes as one GF(2) matmul on the MXU
     (ops/crc.py documents the contraction; here it runs batched on device);
   * syndrome-table error correction: the glibc bsearch probe sequence
-    (dump1090.c:862-865 — duplicates must resolve to the same entry) runs as
-    13 vectorized probe rounds over all candidates at once; bit flips are
-    applied with one-hot byte masks;
+    (dump1090.c:862-865 — duplicates must resolve to the same entry) is a
+    dense 2^24-entry table built once at trace time — ONE gather per
+    candidate; bit flips are applied with one-hot byte masks;
   * the brute-force AP address (dump1090.c:942-983) — algebraically the
     address IS the syndrome (AP = CRC xor addr, so syndrome = addr), no
-    extra work at all.
+    extra work at all;
+  * the ENTIRE CRC-acceptance decision is collapsed to two precomputed
+    bits per pass — "CRC ok if the ICAO cache hits" and "CRC ok if it
+    doesn't" — so the sequential core does one select per pass instead of
+    re-deriving the DF-type policy (measured ~82 ns/step vs ~124 for the
+    policy-in-kernel form).
 
 What remains is genuinely sequential: the skip-until position (reset per
 buffer, advanced past good messages, dump1090.c:1769-1771) and the
 1024-entry ICAO cache whose hits gate AP/IID acceptance (dump1090.c:942-983,
-1196-1209).  Per candidate that is ~60 scalar decisions — pathological for
-XLA (a lax.scan issues each op as a serialized vector instruction, measured
-~23 us/step on v5e) but trivial for a Pallas kernel running the loop on the
-scalar core with the cache in SMEM (measured ~0.2 us/step, see
-_resolve_words_pallas).  The kernel consumes three packed int32 words per
-candidate and emits ONE packed decision word; stat counters and message
-emission are derived from the words vectorized, after the fact.
+1196-1209).  That is pathological for XLA (a lax.scan issues each op as a
+serialized vector instruction, measured ~23 us/step on v5e) but trivial for
+a Pallas kernel running the loop on the scalar core with the cache in SMEM.
+The kernel consumes three packed int32 words per candidate and emits ONE
+packed decision word; stat counters and message emission are derived from
+the words vectorized, after the fact.
 
-The ICAO cache lives on the device between batches (donated carry), exactly
-like Modes.icao_cache persists across buffers in the reference.  Timestamps
-are int32 unix seconds — the same 2038 horizon as a 32-bit time_t build of
-the reference; one `now` per batch matches the native batch resolver
-(native/__init__.py resolve_blocks_records), which also samples the clock
-once per batch.
+Kernel cost model (measured on v5e through the axon tunnel):
+  * each pallas_call costs ~1.1 ms FIXED (launch + block plumbing) plus
+    ~82 ns per executed candidate step — so the whole dispatch group runs
+    as ONE kernel call (demod_resolve_group), not one per batch;
+  * the per-candidate input words stream through SMEM as per-chunk blocks
+    (regular BlockSpec inputs), not as one scalar-prefetch array, so the
+    stream length is unbounded (no MAX_SCAN_SEGMENT);
+  * only the per-BUFFER candidate counts are scalar-prefetched (4 bytes per
+    buffer): valid candidates are a contiguous prefix of each buffer's
+    fixed-width slot row, so the kernel walks exactly `n_b` slots per
+    buffer and never touches padding — resolve cost is proportional to
+    candidate DENSITY, not to the padded shape (dense modes1.bin air pays
+    ~26k steps per 128-buffer batch; quiet air pays almost nothing).
+
+The ICAO cache lives on the device between batches, exactly like
+Modes.icao_cache persists across buffers in the reference.  Timestamps are
+int32 unix seconds — the same 2038 horizon as a 32-bit time_t build of the
+reference; one `now` per dispatch group (see models/pipeline.py for the
+granularity note).
 
 Emitted messages are compacted with the same first-K top_k pattern as the
-demodulator and returned as fixed-shape (max_out, 14) bytes + one packed
-int32 of metadata per message, with the exact emission count for overflow
-detection (never silent truncation).
+demodulator.  The packed wire format splits short (7-byte) and long
+(14-byte) frames into separate arrays — 56-bit frames do not pay for 112-bit
+rows — with each short row carrying its emission rank so the host can
+re-interleave the stream exactly; exact emission counts make overflow
+detected, never silent.
 """
 
 from __future__ import annotations
@@ -71,20 +90,22 @@ from . import crc as crc_ops
 
 # ---- packed input word layout (per candidate) --------------------------------
 # pf:  pos (bits 0..16) | valid<<17 | newbuf<<18 | gate1<<19
-# w1/w2 (per pass): addr (bits 0..23) | attempt<<24 | is_std<<25 | is_ap<<26 |
-#                   iid_small<<27 | crcok_fix<<28 | clean<<29 | long<<30
+# w1/w2 (per pass): addr (bits 0..23) | attempt<<24 | crcok_seen<<25 |
+#                   crcok_noseen<<26 | addable<<27 | long<<28
+# crcok_seen/noseen: the final CRC verdict given an ICAO-cache hit / miss
+# (the whole DF-type acceptance policy of decodeModesMessage folded in);
+# addable: this pass would insert addr into the cache when attempted
+# (std frame, good/fixed CRC, no errorbit — dump1090.c:1196-1209).
 PF_POS_MASK = (1 << 17) - 1
 PF_VALID = 1 << 17
 PF_NEWBUF = 1 << 18
 PF_GATE1 = 1 << 19
 W_ADDR_MASK = (1 << 24) - 1
 W_ATTEMPT = 1 << 24
-W_STD = 1 << 25
-W_AP = 1 << 26
-W_IID = 1 << 27
-W_CRCOK_FIX = 1 << 28
-W_CLEAN = 1 << 29
-W_LONG = 1 << 30
+W_CRCOK_SEEN = 1 << 25
+W_CRCOK_NOSEEN = 1 << 26
+W_ADDABLE = 1 << 27
+W_LONG = 1 << 28
 
 # ---- packed output word layout (per candidate) -------------------------------
 R_RUN = 1
@@ -98,7 +119,7 @@ R_GOOD2 = 128
 
 # meta word layout of emitted messages (bit 0 is the LSB):
 # pos << 12 | (errorbit+1) << 4 | pass << 3 | long << 2 | phase << 1 | crcok
-# (errorbit+1 in [0, 112]: 0 = no fix applied; pos <= SCAN_POSITIONS < 2^18)
+# (errorbit+1 in [0, 112]: 0 = no fix applied; pos <= SCAN_POSITIONS < 2^17)
 META_CRCOK = 1
 META_PHASE = 2
 META_LONG = 4
@@ -111,6 +132,8 @@ META_POS_SHIFT = 12
 # (dump1090.c:1769-1771)
 SKIP_SHORT = (PREAMBLE_US + SHORT_MSG_BITS) * 2 + 1  # 129
 SKIP_EXTRA_LONG = (LONG_MSG_BITS - SHORT_MSG_BITS) * 2  # +112 for long frames
+
+RESOLVE_CHUNK = 2048  # target candidates per Pallas grid step
 
 
 @functools.cache
@@ -236,7 +259,11 @@ def icao_hash(a: jax.Array) -> jax.Array:
 def _pass_precompute(msgs, errors, gate, aggressive, fix_errors):
     """Order-independent decode work for one demod pass of all candidates.
 
-    Returns (packed word, msg_fixed, aux dict of pure flags for stats)."""
+    Returns (packed word, msg_fixed, aux dict of pure flags for stats).
+    The word carries the FINAL per-candidate CRC verdict conditioned on the
+    only sequential unknown (ICAO-cache hit or miss), so the scalar core
+    does one select where the reference re-derives the whole DF policy
+    (dump1090.c:1119-1209)."""
     x = msgs.astype(jnp.int32)
     msgtype = x[:, 0] >> 3
     is_long = (msgtype >= 16) & (msgtype <= 21)  # LONG_MSG_DFS
@@ -267,21 +294,26 @@ def _pass_precompute(msgs, errors, gate, aggressive, fix_errors):
         return flag.astype(jnp.int32) * bit
 
     attempt = gate & ((errors == 0) | (aggressive & (errors < 3)))
+    clean = errorbit == -1
+    iid_ok = ~crcok_fix & is11 & (syn < DF11_IID_MAX_SYNDROME)
+    # reference acceptance (decodeModesMessage): std frames pass on clean or
+    # fixed CRC, or on a DF11-IID cache hit; AP frames pass only on a cache
+    # hit of the brute-forced address
+    crcok_seen = jnp.where(is_std, crcok_fix | iid_ok, is_ap)
+    crcok_noseen = is_std & crcok_fix
     word = (
         addr
         | b(attempt, W_ATTEMPT)
-        | b(is_std, W_STD)
-        | b(is_ap, W_AP)
-        | b(~crcok_fix & is11 & (syn < DF11_IID_MAX_SYNDROME), W_IID)
-        | b(crcok_fix, W_CRCOK_FIX)
-        | b(errorbit == -1, W_CLEAN)
+        | b(crcok_seen, W_CRCOK_SEEN)
+        | b(crcok_noseen, W_CRCOK_NOSEEN)
+        | b(is_std & crcok_fix & clean, W_ADDABLE)
         | b(is_long, W_LONG)
     )
     aux = dict(
         errors0=errors == 0,
         fixed_one=nfix == 1,
         fixed_two=nfix == 2,
-        clean=errorbit == -1,
+        clean=clean,
         long=is_long,
         errorbit=errorbit,
     )
@@ -290,56 +322,49 @@ def _pass_precompute(msgs, errors, gate, aggressive, fix_errors):
 
 # -----------------------------------------------------------------------------
 # The sequential state machine: one packed decision word per candidate.
-# Two interchangeable backends with an identical contract:
-#   (pf, w1, w2, cache_addr, cache_ts, now) ->
-#       (words int32[N], cache_addr', cache_ts')
+# Two interchangeable backends with an identical contract over the flat
+# candidate stream (valid slots are a contiguous prefix of each buffer's
+# fixed-width row; invalid slots are provable no-ops):
+#   XLA lax.scan twin  — walks every slot (CPU path and differential oracle);
+#   Pallas TPU kernel  — walks only the n_b valid slots of each buffer.
 # -----------------------------------------------------------------------------
 
 
 def _step_semantics(pf, w1, w2, skip, lookup, add):
     """Shared per-candidate decision logic (both backends call this with
-    backend-native `lookup(addr)` / `add(addr)` callbacks).
+    backend-native `lookup(addr)` / `add(cond, addr)` callbacks; the actual
+    cache write happens after the step, at most one per candidate — a pass-1
+    add implies good1, so pass 2 never attempts).
 
     Returns (word, new_skip)."""
     pos = pf & PF_POS_MASK
     skip = jnp.where((pf & PF_NEWBUF) != 0, 0, skip)
     run = ((pf & PF_VALID) != 0) & (pos >= skip)
 
-    def unpack(w):
-        return (
-            w & W_ADDR_MASK,
-            (w & W_ATTEMPT) != 0,
-            (w & W_STD) != 0,
-            (w & W_AP) != 0,
-            (w & W_IID) != 0,
-            (w & W_CRCOK_FIX) != 0,
-            (w & W_CLEAN) != 0,
-            (w & W_LONG) != 0,
+    def one_pass(w, run_p):
+        addr = w & W_ADDR_MASK
+        seen = lookup(addr)
+        att = run_p & ((w & W_ATTEMPT) != 0)
+        crcok = jnp.where(
+            seen, (w & W_CRCOK_SEEN) != 0, (w & W_CRCOK_NOSEEN) != 0
         )
+        good = att & crcok
+        add(att & ((w & W_ADDABLE) != 0), addr)
+        return att, crcok, good, (w & W_LONG) != 0
 
     # ---- pass 1 (uncorrected) --------------------------------------------
-    addr1, att_p1, std1, ap1, iid1, fix1, clean1, long1 = unpack(w1)
-    att1 = run & att_p1
-    seen1 = lookup(addr1)
-    crcok1 = jnp.where(std1, fix1 | (iid1 & seen1), ap1 & seen1)
-    good1 = att1 & crcok1
+    att1, crcok1, good1, long1 = one_pass(w1, run)
     skip = jnp.where(
         good1, pos + SKIP_SHORT + jnp.where(long1, SKIP_EXTRA_LONG, 0), skip
     )
-    add(att1 & std1 & fix1 & clean1, addr1)
 
     # ---- pass 2 (phase-corrected retry; noise-gate failure on pass 1
     # skips it entirely, dump1090.c:1724-1726) -----------------------------
     run2 = run & ((pf & PF_GATE1) != 0) & ~good1
-    addr2, att_p2, std2, ap2, iid2, fix2, clean2, long2 = unpack(w2)
-    att2 = run2 & att_p2
-    seen2 = lookup(addr2)
-    crcok2 = jnp.where(std2, fix2 | (iid2 & seen2), ap2 & seen2)
-    good2 = att2 & crcok2
+    att2, crcok2, good2, long2 = one_pass(w2, run2)
     skip = jnp.where(
         good2, pos + SKIP_SHORT + jnp.where(long2, SKIP_EXTRA_LONG, 0), skip
     )
-    add(att2 & std2 & fix2 & clean2, addr2)
 
     def rb(flag, bit):
         return flag.astype(jnp.int32) * bit
@@ -355,8 +380,9 @@ def _step_semantics(pf, w1, w2, skip, lookup, add):
 def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now,
                        skip0=jnp.int32(0)):
     """lax.scan backend — exact but slow on TPU (~us/step); used on CPU and
-    as the differential oracle for the Pallas kernel.  skip0 seeds the
-    skip-until state (nonzero only when resuming a mid-buffer segment)."""
+    as the differential oracle for the Pallas kernel.  Walks EVERY slot of
+    the flat stream; invalid slots (valid bit clear) are no-ops that emit
+    word 0."""
 
     def step(carry, xs):
         skip, ca, ct = carry
@@ -370,8 +396,6 @@ def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now,
             return (a == addr) & (a != 0) & (now - t <= ICAO_CACHE_TTL)
 
         def add(cond, addr):
-            # at most one add fires per candidate (a pass-1 add implies
-            # good1, so pass 2 never runs); fold into one predicated update
             prev = state.get("add")
             if prev is None:
                 state["add"] = (cond, addr)
@@ -399,113 +423,167 @@ def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now,
     return words, ca, ct, skip_end
 
 
-RESOLVE_CHUNK = 2048  # candidates per Pallas grid step
-# cap on candidates per sequential pass: 3 packed int32 words per candidate
-# must fit the Pallas scalar-prefetch (SMEM) budget; larger batches segment
-# at buffer boundaries (demod_resolve_batch)
-MAX_SCAN_SEGMENT = 32768
+def _chunk_geometry(mc: int, n_buffers: int) -> tuple[int, int, int]:
+    """(chunk_slots, buffers_padded, grid) for the kernel's block layout.
+
+    Each grid step owns `chunk_slots` consecutive stream slots; buffer rows
+    are mc slots wide.  mc <= RESOLVE_CHUNK packs whole buffers per chunk
+    (chunk = floor(CHUNK/mc)*mc); larger mc spans one buffer across
+    mc/CHUNK chunks (sticky growth keeps mc a multiple of RESOLVE_CHUNK
+    there)."""
+    if mc <= RESOLVE_CHUNK:
+        bufs_per_chunk = RESOLVE_CHUNK // mc
+        chunk = bufs_per_chunk * mc
+        nbp = -(-n_buffers // bufs_per_chunk) * bufs_per_chunk
+    else:
+        if mc % RESOLVE_CHUNK:
+            raise ValueError(
+                f"max_candidates {mc} > {RESOLVE_CHUNK} must be a multiple "
+                f"of {RESOLVE_CHUNK}"
+            )
+        chunk = RESOLVE_CHUNK
+        nbp = n_buffers
+    return chunk, nbp, nbp * mc // chunk
 
 
-def _resolve_kernel(pf_ref, w1_ref, w2_ref, now_ref, skip_in_ref,
-                    ca_in_ref, ct_in_ref,
-                    words_ref, ca_out_ref, ct_out_ref, skip_out_ref,
-                    ca_ref, ct_ref, skip_ref):
+def _resolve_kernel_factory(mc: int, chunk: int, cps: int | None = None):
     """Pallas TPU kernel: the candidate loop on the scalar core, ICAO cache
-    in SMEM.  ~0.2 us per candidate (vs ~23 us/step for the XLA scan)."""
-    c = pl.program_id(0)
-    nc = pl.num_programs(0)
-    now = now_ref[0]
+    in SMEM.  ~82 ns per executed step; per-buffer counts are scalar-
+    prefetched so only the valid prefix of each buffer's slot row runs —
+    skipped slots' output words are garbage and are zeroed by the caller's
+    valid mask.
 
-    @pl.when(c == 0)
-    def _():
-        skip_ref[0] = skip_in_ref[0]
+    cps (chunks per stream): None = one sequential stream, cache loaded at
+    the first grid step and stored at the last.  An int = the flat slot
+    stream is a concatenation of INDEPENDENT streams of cps chunks each
+    (decode_captures sharing one dispatch across captures): the kernel swaps
+    the SMEM cache at stream boundaries — cache rows ca_in/[ct_in] are (1,
+    ICAO_CACHE_LEN) blocks indexed by stream."""
 
-        def cp(i, _):
-            ca_ref[i] = ca_in_ref[i]
-            ct_ref[i] = ct_in_ref[i]
+    def kernel(nbuf_ref, now_ref,
+               pf_ref, w1_ref, w2_ref, ca_in_ref, ct_in_ref,
+               words_ref, ca_out_ref, ct_out_ref,
+               ca_ref, ct_ref, skip_ref):
+        c = pl.program_id(0)
+        nc = pl.num_programs(0)
+        now = now_ref[0]
+
+        def load_cache(i, _):
+            ca_ref[i] = ca_in_ref[i] if cps is None else ca_in_ref[0, i]
+            ct_ref[i] = ct_in_ref[i] if cps is None else ct_in_ref[0, i]
             return 0
 
-        lax.fori_loop(0, ICAO_CACHE_LEN, cp, 0)
-
-    base = c * RESOLVE_CHUNK
-
-    def body(k, skip):
-        i = base + k
-        state = {}
-
-        def lookup(addr):
-            h = icao_hash(addr)
-            a = ca_ref[h]
-            t = ct_ref[h]
-            return (a == addr) & (a != 0) & (now - t <= ICAO_CACHE_TTL)
-
-        def add(cond, addr):
-            prev = state.get("add")
-            if prev is None:
-                state["add"] = (cond, addr)
+        def store_cache(i, _):
+            if cps is None:
+                ca_out_ref[i] = ca_ref[i]
+                ct_out_ref[i] = ct_ref[i]
             else:
-                pc, pa = prev
-                state["add"] = (pc | cond, jnp.where(pc, pa, addr))
-
-        word, skip = _step_semantics(
-            pf_ref[i], w1_ref[i], w2_ref[i], skip, lookup, add
-        )
-        cond, addr = state["add"]
-
-        @pl.when(cond)
-        def _():
-            h = icao_hash(addr)
-            ca_ref[h] = addr
-            ct_ref[h] = now
-
-        words_ref[k] = word
-        return skip
-
-    skip_ref[0] = lax.fori_loop(0, RESOLVE_CHUNK, body, skip_ref[0])
-
-    @pl.when(c == nc - 1)
-    def _():
-        skip_out_ref[0] = skip_ref[0]
-
-        def cp(i, _):
-            ca_out_ref[i] = ca_ref[i]
-            ct_out_ref[i] = ct_ref[i]
+                ca_out_ref[0, i] = ca_ref[i]
+                ct_out_ref[0, i] = ct_ref[i]
             return 0
 
-        lax.fori_loop(0, ICAO_CACHE_LEN, cp, 0)
+        @pl.when(c == 0 if cps is None else c % cps == 0)
+        def _():
+            skip_ref[0] = 0
+            lax.fori_loop(0, ICAO_CACHE_LEN, load_cache, 0)
+
+        def step(i, skip):
+            state = {}
+
+            def lookup(addr):
+                h = icao_hash(addr)
+                a = ca_ref[h]
+                t = ct_ref[h]
+                return (a == addr) & (a != 0) & (now - t <= ICAO_CACHE_TTL)
+
+            def add(cond, addr):
+                prev = state.get("add")
+                if prev is None:
+                    state["add"] = (cond, addr)
+                else:
+                    pc, pa = prev
+                    state["add"] = (pc | cond, jnp.where(pc, pa, addr))
+
+            word, skip = _step_semantics(
+                pf_ref[i], w1_ref[i], w2_ref[i], skip, lookup, add
+            )
+            cond, addr = state["add"]
+
+            @pl.when(cond)
+            def _():
+                h = icao_hash(addr)
+                ca_ref[h] = addr
+                ct_ref[h] = now
+
+            words_ref[i] = word
+            return skip
+
+        if mc <= RESOLVE_CHUNK:
+            bufs_per_chunk = chunk // mc
+
+            def buf_body(bi, skip):
+                cnt = nbuf_ref[c * bufs_per_chunk + bi]
+                base = bi * mc
+                return lax.fori_loop(
+                    0, cnt, lambda k, s: step(base + k, s), skip
+                )
+
+            skip_ref[0] = lax.fori_loop(0, bufs_per_chunk, buf_body, skip_ref[0])
+        else:
+            chunks_per_buf = mc // chunk
+            cnt = jnp.clip(
+                nbuf_ref[c // chunks_per_buf] - (c % chunks_per_buf) * chunk,
+                0, chunk,
+            )
+            skip_ref[0] = lax.fori_loop(0, cnt, step, skip_ref[0])
+
+        @pl.when(c == nc - 1 if cps is None else c % cps == cps - 1)
+        def _():
+            lax.fori_loop(0, ICAO_CACHE_LEN, store_cache, 0)
+
+    return kernel
 
 
-def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
-                          skip0=jnp.int32(0), interpret: bool = False):
+def _resolve_words_pallas(pf, w1, w2, nbuf, cache_addr, cache_ts, now, *,
+                          mc: int, interpret: bool = False):
+    """Pallas backend over the flat candidate stream.
+
+    pf/w1/w2: int32[NBUF * mc] (whole buffers, fixed-width rows); nbuf:
+    int32[NBUF] per-buffer valid-candidate counts (pre-clamped to mc).
+    Returns (words, ca', ct') with words ALREADY masked to zero on
+    skipped/invalid slots."""
+    n_buffers = nbuf.shape[0]
+    chunk, nbp, grid = _chunk_geometry(mc, n_buffers)
     n = pf.shape[0]
-    pad = -(-n // RESOLVE_CHUNK) * RESOLVE_CHUNK
-    if pad != n:  # pad with invalid candidates (valid bit clear -> no-ops)
-        z = jnp.zeros(pad - n, jnp.int32)
+    n_pad = nbp * mc
+    if n_pad != n:  # pad with empty pseudo-buffers (count 0 -> never walked)
+        z = jnp.zeros(n_pad - n, jnp.int32)
         pf = jnp.concatenate([pf, z])
         w1 = jnp.concatenate([w1, z])
         w2 = jnp.concatenate([w2, z])
-    words, ca, ct, skip_end = pl.pallas_call(
-        _resolve_kernel,
+    if nbp != n_buffers:
+        nbuf = jnp.concatenate(
+            [nbuf, jnp.zeros(nbp - n_buffers, jnp.int32)]
+        )
+
+    blk = lambda c, *_: (c,)  # noqa: E731
+    rep = lambda c, *_: (0,)  # noqa: E731
+    words, ca, ct = pl.pallas_call(
+        _resolve_kernel_factory(mc, chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
-            grid=(pad // RESOLVE_CHUNK,),
-            in_specs=[],
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), rep, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), rep, memory_space=pltpu.SMEM),
+            ],
             out_specs=[
-                pl.BlockSpec(
-                    (RESOLVE_CHUNK,), lambda c, *_: (c,),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (ICAO_CACHE_LEN,), lambda c, *_: (0,),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (ICAO_CACHE_LEN,), lambda c, *_: (0,),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1,), lambda c, *_: (0,), memory_space=pltpu.SMEM,
-                ),
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), rep, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), rep, memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
                 pltpu.SMEM((ICAO_CACHE_LEN,), jnp.int32),
@@ -514,26 +592,82 @@ def _resolve_words_pallas(pf, w1, w2, cache_addr, cache_ts, now,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((pad,), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
             jax.ShapeDtypeStruct((ICAO_CACHE_LEN,), jnp.int32),
             jax.ShapeDtypeStruct((ICAO_CACHE_LEN,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(pf, w1, w2, jnp.asarray(now, jnp.int32).reshape(1),
-      jnp.asarray(skip0, jnp.int32).reshape(1), cache_addr, cache_ts)
-    return words[:n], ca, ct, skip_end[0]
+    )(nbuf, jnp.asarray(now, jnp.int32).reshape(1),
+      pf, w1, w2, cache_addr, cache_ts)
+    # skipped slots hold stale SMEM block contents: zero them (the XLA twin
+    # emits exact zeros there, and stats/emission read the whole array)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    valid = (slot % mc) < jnp.repeat(nbuf[: n // mc], mc)
+    return jnp.where(valid, words[:n], 0), ca, ct
+
+
+def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
+                                  now, *, mc: int, n_streams: int,
+                                  interpret: bool = False):
+    """Pallas backend over S INDEPENDENT candidate streams in one kernel
+    call: pf/w1/w2 are the per-stream flat streams concatenated
+    ((S * NBp * mc,), each stream padded to whole chunks), nbuf is (S *
+    NBp,), and cache_addr/cache_ts are (S, ICAO_CACHE_LEN) per-stream
+    caches — swapped in SMEM at stream boundaries.  Returns (words
+    [unmasked — callers mask by validity], ca' (S, L), ct' (S, L))."""
+    nbp = nbuf.shape[0] // n_streams
+    chunk, nbp_pad, grid_per = _chunk_geometry(mc, nbp)
+    if nbp_pad != nbp:
+        raise ValueError(
+            f"per-stream buffer count {nbp} must fill whole {chunk}-slot "
+            f"chunks (pad streams with empty pseudo-buffers first)"
+        )
+    n = pf.shape[0]
+    grid = grid_per * n_streams
+
+    blk = lambda c, *_: (c,)  # noqa: E731
+    srow = lambda c, *_: (c // grid_per, 0)  # noqa: E731
+    words, ca, ct = pl.pallas_call(
+        _resolve_kernel_factory(mc, chunk, cps=grid_per),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((ICAO_CACHE_LEN,), jnp.int32),
+                pltpu.SMEM((ICAO_CACHE_LEN,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n_streams, ICAO_CACHE_LEN), jnp.int32),
+            jax.ShapeDtypeStruct((n_streams, ICAO_CACHE_LEN), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nbuf, jnp.asarray(now, jnp.int32).reshape(1),
+      pf, w1, w2, cache_addr, cache_ts)
+    return words, ca, ct
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "scan_len", "max_candidates", "max_out", "crcok_only", "pallas",
-        "packed",
-    ),
+    static_argnames=("scan_len", "max_candidates", "max_out", "crcok_only",
+                     "pallas"),
 )
-def demod_resolve_group(
-    xg: jax.Array,
+def demod_resolve_streams(
+    xs: jax.Array,
     cache_addr: jax.Array,
     cache_ts: jax.Array,
     now: jax.Array,
@@ -543,30 +677,107 @@ def demod_resolve_group(
     scan_len: int,
     max_candidates: int,
     max_out: int,
-    crcok_only: bool = True,
+    crcok_only: bool = False,
     pallas: bool | None = None,
-    packed: bool = True,
 ):
-    """G chained demod_resolve_batch steps in ONE program: xg is
-    (G, NB, nbytes) uint8, the ICAO cache threads through the lax.scan
-    carry, and every batch's outputs come back stacked — one dispatch and
-    one fetch per G batches.  This is the sustained-throughput protocol
-    (bench.py measures it); DemodPipeline._device_batches uses it for
-    seekable file decode."""
+    """S INDEPENDENT capture streams share one fused demod+resolve dispatch
+    (the data parallelism of api.decode_captures, device edition): xs is
+    (S, NB, nbytes) uint8 — stream s's next NB buffers — and
+    cache_addr/cache_ts are (S, ICAO_CACHE_LEN) per-stream ICAO caches.
+    Each stream resolves exactly as if decoded alone (per-stream skip state,
+    per-stream cache swapped in SMEM at stream boundaries of the single
+    kernel pass); results are bit-identical to decode_capture per stream.
 
-    def body(carry, xb):
-        ca, ct = carry
-        outs = demod_resolve_batch(
-            xb, ca, ct, now, fix_errors, aggressive,
-            scan_len=scan_len, max_candidates=max_candidates,
-            max_out=max_out, crcok_only=crcok_only, pallas=pallas,
-            packed=packed,
+    Returns (n (S, NB), count (S,), msg (S, max_out, 14), meta (S, max_out),
+    stats (S, 8), cache_addr' (S, L), cache_ts' (S, L)) — the unpacked
+    demod_resolve_group layout with a leading stream axis."""
+    from ..parallel.sharding import demod_batch
+
+    if pallas is None:
+        pallas = _use_pallas_resolve()
+    if scan_len > PF_POS_MASK:
+        raise ValueError(
+            f"scan_len {scan_len} exceeds the {PF_POS_MASK} packed-position "
+            f"limit of the resolver word layout"
         )
-        ca, ct = outs[-2], outs[-1]
-        return (ca, ct), outs[:-2]
+    s_n, nb, nbytes = xs.shape
+    cand = demod_batch(
+        xs.reshape(s_n * nb, nbytes), scan_len=scan_len,
+        max_candidates=max_candidates, pallas=pallas,
+    )
+    nbuf_total, mc = cand.pos.shape
+    # pad each stream's buffer row count so streams start on chunk
+    # boundaries (empty pseudo-buffers cost zero kernel steps)
+    chunk, nbp, _ = _chunk_geometry(mc, nb)
+    n_flat = s_n * nbp * mc
+    per_stream = nbp * mc
 
-    (ca, ct), stacked = lax.scan(body, (cache_addr, cache_ts), xg)
-    return stacked + (ca, ct)
+    def flat(a):
+        """(S*nb, mc, ...) -> (S*nbp*mc, ...) with per-stream padding."""
+        a = a.reshape((s_n, nb * mc) + a.shape[2:])
+        pad = [(0, 0)] * a.ndim
+        pad[1] = (0, (nbp - nb) * mc)
+        a = jnp.pad(a, pad)
+        return a.reshape((n_flat,) + a.shape[2:])
+
+    fe = jnp.asarray(fix_errors).astype(bool)
+    ag = jnp.asarray(aggressive).astype(bool)
+    now = jnp.asarray(now).astype(jnp.int32)
+
+    w1, msg1f, aux1 = _pass_precompute(
+        flat(cand.msg1), flat(cand.errors1), flat(cand.gate1), ag, fe
+    )
+    w2, msg2f, aux2 = _pass_precompute(
+        flat(cand.msg2), flat(cand.errors2), flat(cand.gate2), ag, fe
+    )
+
+    nbuf = jnp.pad(
+        jnp.minimum(cand.n, mc).astype(jnp.int32).reshape(s_n, nb),
+        ((0, 0), (0, nbp - nb)),
+    ).reshape(s_n * nbp)
+    slot = jnp.arange(n_flat, dtype=jnp.int32)
+    valid = (slot % mc) < jnp.repeat(nbuf, mc)
+    pos = flat(cand.pos)
+    pf = (
+        jnp.minimum(pos, PF_POS_MASK)
+        | valid.astype(jnp.int32) * PF_VALID
+        | ((slot % mc) == 0).astype(jnp.int32) * PF_NEWBUF
+        | flat(cand.gate1).astype(jnp.int32) * PF_GATE1
+    )
+
+    ca = cache_addr.astype(jnp.int32)
+    ct = cache_ts.astype(jnp.int32)
+    if pallas:
+        words, ca, ct = _resolve_words_pallas_streams(
+            pf, w1, w2, nbuf, ca, ct, now, mc=mc, n_streams=s_n
+        )
+        words = jnp.where(valid, words, 0)
+    else:
+        # XLA twin: vmap the per-stream scan (streams advance in lockstep;
+        # each stream's cache is its own carry)
+        def one(pf_s, w1_s, w2_s, ca_s, ct_s):
+            w, ca2, ct2, _ = _resolve_words_xla(pf_s, w1_s, w2_s, ca_s, ct_s, now)
+            return w, ca2, ct2
+
+        by = lambda a: a.reshape(s_n, per_stream)  # noqa: E731
+        words, ca, ct = jax.vmap(one)(by(pf), by(w1), by(w2), ca, ct)
+        words = words.reshape(n_flat)
+
+    def by_stream(a):
+        return a.reshape((s_n, per_stream) + a.shape[1:])
+
+    aux1_s = {k: by_stream(v) for k, v in aux1.items()}
+    aux2_s = {k: by_stream(v) for k, v in aux2.items()}
+    post = functools.partial(
+        _postprocess_batch,
+        crcok_only=crcok_only, packed=False, max_out=max_out,
+        max_out_short=0, max_out_long=0,
+    )
+    count, msg_out, meta_out, stats = jax.vmap(post)(
+        by_stream(words), by_stream(msg1f), by_stream(msg2f), by_stream(pos),
+        aux1_s, aux2_s,
+    )
+    return (cand.n.reshape(s_n, nb), count, msg_out, meta_out, stats, ca, ct)
 
 
 def use_device_resolve() -> bool:
@@ -582,19 +793,19 @@ _use_pallas_resolve = use_device_resolve  # internal alias
 
 
 # NOTE: cache_addr/cache_ts are NOT donated although they look like an
-# in-place carry: overflow checks (count vs max_out, n vs max_candidates)
-# happen on the host AFTER the call, and the retry re-runs from the PRIOR
-# state — which must therefore stay alive.  The state is 8 KB; copying it
-# per batch is noise.
+# in-place carry: overflow checks (counts vs the static shapes) happen on
+# the host AFTER the call, and the retry re-runs from the PRIOR state —
+# which must therefore stay alive.  The state is 8 KB; copying it per group
+# is noise.
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scan_len", "max_candidates", "max_out", "crcok_only", "pallas",
-        "packed",
+        "scan_len", "max_candidates", "max_out", "max_out_short",
+        "max_out_long", "crcok_only", "pallas", "packed",
     ),
 )
-def demod_resolve_batch(
-    iq_buffers: jax.Array,
+def demod_resolve_group(
+    xg: jax.Array,
     cache_addr: jax.Array,
     cache_ts: jax.Array,
     now: jax.Array,
@@ -603,36 +814,59 @@ def demod_resolve_batch(
     *,
     scan_len: int,
     max_candidates: int,
-    max_out: int,
+    max_out: int = 0,
+    max_out_short: int = 0,
+    max_out_long: int = 0,
     crcok_only: bool = True,
     pallas: bool | None = None,
-    packed: bool = False,
+    packed: bool = True,
 ):
-    """Fused device pipeline: (NB, nbytes) uint8 IQ -> emitted messages.
+    """Fused device pipeline over a dispatch GROUP: xg is (G, NB, nbytes)
+    uint8 IQ — one program demodulates every buffer, resolves the whole
+    candidate stream in ONE Pallas kernel call (the ICAO cache and the
+    per-buffer skip state chain through it in stream order), and emits each
+    batch's messages.  One dispatch and one fetch per G batches — the
+    sustained-throughput protocol (bench.py measures it;
+    DemodPipeline._device_batches uses it for file decode).
 
-    Returns (n, count, msg_out, meta_out, stats, cache_addr', cache_ts'):
-      n        int32[NB]         exact preamble count per buffer (overflow check)
-      count    int32[]           exact emitted-message count (overflow check)
-      msg_out  uint8[max_out,14] emitted frames (post-fix), scan order
-      meta_out int32[max_out]    pos<<4 | pass<<3 | long<<2 | phase<<1 | crcok
-      stats    int32[8]          reference counter deltas (DecoderStats order)
+    Returns, with packed=True (the raw/stats wire format):
+      n        int32[G, NB]        exact preamble count per buffer
+      count    int32[G]            exact emitted-message count per batch
+      count_long int32[G]          how many of those are 112-bit frames
+      shorts   uint8[G, mos, 9]    7 frame bytes + emission rank (lo, hi)
+      longs    uint8[G, mol, 14]   14 frame bytes, in emission order
+      stats    int32[G, 8]         reference counter deltas (DecoderStats order)
+      cache_addr', cache_ts'
+    Short rows carry their rank in the batch's emission sequence so the host
+    re-interleaves exactly; long rows fill the remaining ranks in order.
+    Overflow is detected from the exact counts (count-count_long > mos or
+    count_long > mol), never silently truncated.
 
-    With packed=True, msg_out and meta_out merge into ONE uint8[max_out,15]
-    array (columns 0..13 = frame bytes, column 14 = the low meta bits) —
-    half the fetch arrays and ~20% fewer bytes on runtimes where the
-    device->host link is the bottleneck; pos is dropped.
+    With packed=False (the full-fidelity hub format):
+      n, count, msg uint8[G, max_out, 14], meta int32[G, max_out], stats,
+      cache_addr', cache_ts'
+    where meta is pos<<12 | (errorbit+1)<<4 | pass<<3 | long<<2 | phase<<1
+    | crcok (see the META_* constants; models/decoder.py message_from_device
+    consumes it).
     """
     from ..parallel.sharding import demod_batch
 
     if pallas is None:
         pallas = _use_pallas_resolve()
+    if scan_len > PF_POS_MASK:
+        raise ValueError(
+            f"scan_len {scan_len} exceeds the {PF_POS_MASK} packed-position "
+            f"limit of the resolver word layout"
+        )
 
+    g_n, nb, nbytes = xg.shape
     cand = demod_batch(
-        iq_buffers, scan_len=scan_len, max_candidates=max_candidates,
-        pallas=pallas,
+        xg.reshape(g_n * nb, nbytes), scan_len=scan_len,
+        max_candidates=max_candidates, pallas=pallas,
     )
-    nb, mc = cand.pos.shape
-    n_flat = nb * mc
+    nbuf_total, mc = cand.pos.shape
+    n_flat = nbuf_total * mc
+    per_batch = nb * mc
 
     def flat(a):
         return a.reshape((n_flat,) + a.shape[2:])
@@ -648,8 +882,9 @@ def demod_resolve_batch(
         flat(cand.msg2), flat(cand.errors2), flat(cand.gate2), ag, fe
     )
 
+    nbuf = jnp.minimum(cand.n, mc).astype(jnp.int32)
     slot = jnp.arange(n_flat, dtype=jnp.int32)
-    valid = (slot % mc) < jnp.repeat(jnp.minimum(cand.n, mc), mc)
+    valid = (slot % mc) < jnp.repeat(nbuf, mc)
     pos = flat(cand.pos)
     pf = (
         jnp.minimum(pos, PF_POS_MASK)
@@ -658,36 +893,47 @@ def demod_resolve_batch(
         | flat(cand.gate1).astype(jnp.int32) * PF_GATE1
     )
 
-    backend = _resolve_words_pallas if pallas else _resolve_words_xla
     ca = cache_addr.astype(jnp.int32)
     ct = cache_ts.astype(jnp.int32)
-    if n_flat <= MAX_SCAN_SEGMENT:
-        words, ca, ct, _ = backend(pf, w1, w2, ca, ct, now)
+    if pallas:
+        words, ca, ct = _resolve_words_pallas(
+            pf, w1, w2, nbuf, ca, ct, now, mc=mc
+        )
     else:
-        # very large batches: segment the sequential pass so the Pallas
-        # kernel's SMEM scalar-prefetch footprint stays bounded regardless
-        # of batch size OR candidate density.  Both the ICAO cache and the
-        # skip-until state chain across segments, so the cut may fall
-        # anywhere — including mid-buffer when sticky growth has pushed
-        # max_candidates past the segment size.
-        skip = jnp.int32(0)
-        parts = []
-        for s in range(0, n_flat, MAX_SCAN_SEGMENT):
-            e = min(s + MAX_SCAN_SEGMENT, n_flat)
-            w, ca, ct, skip = backend(
-                pf[s:e], w1[s:e], w2[s:e], ca, ct, now, skip
-            )
-            parts.append(w)
-        words = jnp.concatenate(parts)
+        words, ca, ct, _ = _resolve_words_xla(pf, w1, w2, ca, ct, now)
 
+    # ---- per-batch post-processing, vectorized over the group -------------
+    def by_batch(a):
+        return a.reshape((g_n, per_batch) + a.shape[1:])
+
+    aux1_b = {k: by_batch(v) for k, v in aux1.items()}
+    aux2_b = {k: by_batch(v) for k, v in aux2.items()}
+    post = functools.partial(
+        _postprocess_batch,
+        crcok_only=crcok_only, packed=packed, max_out=max_out,
+        max_out_short=max_out_short, max_out_long=max_out_long,
+    )
+    outs = jax.vmap(post)(
+        by_batch(words), by_batch(msg1f), by_batch(msg2f), by_batch(pos),
+        aux1_b, aux2_b,
+    )
+    return (cand.n.reshape(g_n, nb),) + outs + (ca, ct)
+
+
+def _postprocess_batch(words, msg1f, msg2f, pos, aux1, aux2, *,
+                       crcok_only, packed, max_out, max_out_short,
+                       max_out_long):
+    """Stats + message emission for ONE batch's decision words (vmapped over
+    the group).  All order-independent: derived from the sequential pass's
+    packed words (dump1090.c:1737-1753 detect-path counters incl. the
+    single-bit double count, dump1090.c:1122-1126 decode path; see
+    models/resolver.py for the host twin)."""
+    n_slots = words.shape[0]
     bit = lambda w, b: (w & b) != 0  # noqa: E731
     att1, crcok1 = bit(words, R_ATT1), bit(words, R_CRCOK1)
     run2, att2 = bit(words, R_RUN2), bit(words, R_ATT2)
     crcok2, good2 = bit(words, R_CRCOK2), bit(words, R_GOOD2)
 
-    # ---- stats, derived vectorized from the decision words ----------------
-    # (dump1090.c:1737-1753 detect path incl. the single-bit double count,
-    # dump1090.c:1122-1126 decode path; see models/resolver.py)
     def s(a):
         return a.sum().astype(jnp.int32)
 
@@ -711,30 +957,52 @@ def demod_resolve_batch(
     # ---- compact emitted messages (first-K in scan order) -----------------
     emit1 = att1 & crcok1 if crcok_only else att1
     emit2 = att2 & crcok2 if crcok_only else att2
-    emask = jnp.stack([emit1, emit2], axis=1).reshape(2 * n_flat)
+    emask = jnp.stack([emit1, emit2], axis=1).reshape(2 * n_slots)
     count = emask.sum().astype(jnp.int32)
+    long_slot = jnp.stack([aux1["long"], aux2["long"]], axis=1).reshape(2 * n_slots)
+    msgs12 = jnp.stack([msg1f, msg2f], axis=1).reshape(2 * n_slots, 14)
 
-    g = jnp.arange(2 * n_flat, dtype=jnp.int32)
-    score = jnp.where(emask, -g, jnp.int32(-(2**30)))
-    k = min(max_out, 2 * n_flat)
-    vals, _ = lax.top_k(score, k)
-    if k < max_out:  # tiny batches: pad to the requested static shape
-        vals = jnp.concatenate([vals, jnp.full(max_out - k, -(2**30), jnp.int32)])
-    gsel = jnp.minimum(-vals, jnp.int32(2 * n_flat - 1))
-    sel_valid = -vals < 2**30 - 1
+    g = jnp.arange(2 * n_slots, dtype=jnp.int32)
+
+    def first_k(mask, k):
+        """Indices of the first k set slots in scan order (+ validity)."""
+        score = jnp.where(mask, -g, jnp.int32(-(2**30)))
+        kk = min(k, 2 * n_slots)
+        vals, _ = lax.top_k(score, kk)
+        if kk < k:
+            vals = jnp.concatenate(
+                [vals, jnp.full(k - kk, -(2**30), jnp.int32)]
+            )
+        sel = jnp.minimum(-vals, jnp.int32(2 * n_slots - 1))
+        return sel, -vals < 2**30 - 1
+
+    if packed:
+        count_long = (emask & long_slot).sum().astype(jnp.int32)
+        rank = jnp.cumsum(emask.astype(jnp.int32)) - emask.astype(jnp.int32)
+        sel_s, ok_s = first_k(emask & ~long_slot, max_out_short)
+        sel_l, ok_l = first_k(emask & long_slot, max_out_long)
+        rank_s = jnp.where(ok_s, jnp.take(rank, sel_s), 0)
+        shorts = jnp.concatenate(
+            [
+                jnp.take(msgs12[:, :7], sel_s, axis=0),
+                (rank_s & 0xFF).astype(jnp.uint8)[:, None],
+                ((rank_s >> 8) & 0xFF).astype(jnp.uint8)[:, None],
+            ],
+            axis=1,
+        )
+        longs = jnp.take(msgs12, sel_l, axis=0)
+        return count, count_long, shorts, longs, stats
+
+    gsel, sel_valid = first_k(emask, max_out)
     p_sel = (gsel & 1) == 1
-
-    msgs12 = jnp.stack([msg1f, msg2f], axis=1).reshape(2 * n_flat, 14)
     msg_out = jnp.take(msgs12, gsel, axis=0)
-
-    crcok_slot = jnp.stack([crcok1, crcok2], axis=1).reshape(2 * n_flat)
+    crcok_slot = jnp.stack([crcok1, crcok2], axis=1).reshape(2 * n_slots)
     phase_slot = jnp.stack(
         [jnp.zeros_like(good2), good2], axis=1
-    ).reshape(2 * n_flat)
-    long_slot = jnp.stack([aux1["long"], aux2["long"]], axis=1).reshape(2 * n_flat)
+    ).reshape(2 * n_slots)
     errbit_slot = jnp.stack(
         [aux1["errorbit"], aux2["errorbit"]], axis=1
-    ).reshape(2 * n_flat)
+    ).reshape(2 * n_slots)
     meta_slot = (
         crcok_slot.astype(jnp.int32) * META_CRCOK
         + phase_slot.astype(jnp.int32) * META_PHASE
@@ -747,9 +1015,144 @@ def demod_resolve_batch(
         jnp.take(meta_slot, gsel) + p_sel.astype(jnp.int32) * META_PASS,
         -1,
     )
-    if packed:
-        merged = jnp.concatenate(
-            [msg_out, (meta_out & 0xF).astype(jnp.uint8)[:, None]], axis=1
+    return count, msg_out, meta_out, stats
+
+
+def demod_resolve_batch(
+    iq_buffers: jax.Array,
+    cache_addr: jax.Array,
+    cache_ts: jax.Array,
+    now: jax.Array,
+    fix_errors: jax.Array,
+    aggressive: jax.Array,
+    *,
+    scan_len: int,
+    max_candidates: int,
+    max_out: int = 0,
+    max_out_short: int = 0,
+    max_out_long: int = 0,
+    crcok_only: bool = True,
+    pallas: bool | None = None,
+    packed: bool = False,
+):
+    """Single-batch convenience wrapper over demod_resolve_group (G = 1):
+    (NB, nbytes) uint8 IQ -> emitted messages.
+
+    Unpacked returns (n[NB], count, msg[max_out,14], meta[max_out], stats[8],
+    cache_addr', cache_ts'); packed returns (n, count, count_long, shorts,
+    longs, stats, cache_addr', cache_ts') — see demod_resolve_group for the
+    layouts (meta: pos<<12 | (errorbit+1)<<4 | pass<<3 | long<<2 | phase<<1
+    | crcok)."""
+    outs = demod_resolve_group(
+        iq_buffers[None], cache_addr, cache_ts, now, fix_errors, aggressive,
+        scan_len=scan_len, max_candidates=max_candidates, max_out=max_out,
+        max_out_short=max_out_short, max_out_long=max_out_long,
+        crcok_only=crcok_only, pallas=pallas, packed=packed,
+    )
+    ca, ct = outs[-2], outs[-1]
+    return tuple(o[0] for o in outs[:-2]) + (ca, ct)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "max_out", "crcok_only", "pallas"),
+)
+def resolve_candidate_segments(
+    pos, msg1, errors1, gate1, msg2, errors2, gate2, nseg, row_id,
+    cache_addr, cache_ts, now, fix_errors, aggressive, *,
+    n_rows: int, max_out: int, crcok_only: bool = False,
+    pallas: bool | None = None,
+):
+    """Device resolve over pre-demodulated candidate SEGMENTS — the
+    multi-chip path's second stage: the time-sharded demod
+    (parallel/sharding.py) leaves each shard's candidates on its device;
+    this program consumes them (XLA inserts the all-gather over ICI) and
+    runs the same sequential skip/ICAO-cache replay as demod_resolve_group,
+    keeping the whole multi-chip decode on-device end to end (round-2 did
+    this stage on the host from fetched candidate arrays).
+
+    pos..gate2: (S, mc) per-segment candidate fields with stream-GLOBAL
+    positions in scan order (segments are fixed-width rows whose valid
+    candidates are a contiguous prefix; invalid pos = 2**30 sentinel).
+    nseg: int32[S] valid-candidate count per segment.  row_id: int32[S]
+    monotone index in [0, n_rows) — segments of one row share a reference
+    buffer, so the skip-until state resets at each row's FIRST VALID
+    candidate (mid-row segment boundaries do NOT reset it, unlike buffer
+    rows in demod_resolve_group) and the ICAO cache chains across all.
+
+    Returns (count, msg[max_out, 14], meta[max_out], stats[8], cache_addr',
+    cache_ts') in the unpacked demod_resolve_group layout."""
+    if pallas is None:
+        pallas = _use_pallas_resolve()
+    s_n, mc = pos.shape
+    n_flat = s_n * mc
+
+    def flat(a):
+        return a.reshape((n_flat,) + a.shape[2:])
+
+    fe = jnp.asarray(fix_errors).astype(bool)
+    ag = jnp.asarray(aggressive).astype(bool)
+    now = jnp.asarray(now).astype(jnp.int32)
+
+    w1, msg1f, aux1 = _pass_precompute(
+        flat(msg1), flat(errors1), flat(gate1), ag, fe
+    )
+    w2, msg2f, aux2 = _pass_precompute(
+        flat(msg2), flat(errors2), flat(gate2), ag, fe
+    )
+
+    nseg_c = jnp.minimum(nseg, mc).astype(jnp.int32)
+    slot = jnp.arange(n_flat, dtype=jnp.int32)
+    valid = (slot % mc) < jnp.repeat(nseg_c, mc)
+    # a row's first valid candidate: its exclusive running valid count
+    # equals the row's base count (valid slots in all prior rows)
+    vi = valid.astype(jnp.int32)
+    excl = jnp.cumsum(vi) - vi
+    seg_base = jnp.cumsum(nseg_c) - nseg_c
+    row_base = jax.ops.segment_min(
+        seg_base, row_id, num_segments=n_rows, indices_are_sorted=True
+    )
+    newbuf = valid & (excl == jnp.repeat(row_base[row_id], mc))
+    pos_f = flat(pos)
+    pf = (
+        jnp.minimum(pos_f, PF_POS_MASK)
+        | vi * PF_VALID
+        | newbuf.astype(jnp.int32) * PF_NEWBUF
+        | flat(gate1).astype(jnp.int32) * PF_GATE1
+    )
+
+    ca = cache_addr.astype(jnp.int32)
+    ct = cache_ts.astype(jnp.int32)
+    if pallas:
+        words, ca, ct = _resolve_words_pallas(
+            pf, w1, w2, nseg_c, ca, ct, now, mc=mc
         )
-        return cand.n, count, merged, stats, ca, ct
-    return cand.n, count, msg_out, meta_out, stats, ca, ct
+    else:
+        words, ca, ct, _ = _resolve_words_xla(pf, w1, w2, ca, ct, now)
+
+    count, msg_out, meta_out, stats = _postprocess_batch(
+        words, msg1f, msg2f, pos_f, aux1, aux2,
+        crcok_only=crcok_only, packed=False, max_out=max_out,
+        max_out_short=0, max_out_long=0,
+    )
+    return count, msg_out, meta_out, stats, ca, ct
+
+
+def interleave_packed(count, count_long, shorts, longs):
+    """Host-side reconstruction of one batch's emission stream from the
+    packed wire format: (msg uint8[count, 14] zero-padded short rows,
+    bits int[count]) in exact scan order."""
+    c = int(count)
+    cl = int(count_long)
+    cs = c - cl
+    msg = np.zeros((c, 14), dtype=np.uint8)
+    is_long = np.ones(c, dtype=bool)
+    if cs:
+        sh = np.asarray(shorts[:cs])
+        ranks = sh[:, 7].astype(np.int64) | (sh[:, 8].astype(np.int64) << 8)
+        is_long[ranks] = False
+        msg[~is_long, :7] = sh[:, :7]
+    if cl:
+        msg[is_long] = np.asarray(longs[:cl])
+    bits = np.where(is_long, 112, 56)
+    return msg, bits

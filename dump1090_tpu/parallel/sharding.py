@@ -94,7 +94,7 @@ def demod_batch(
 
 def _shard_demod_body(m_local: jax.Array, tail: jax.Array, axis: str,
                       scan_per_shard: int, max_candidates: int,
-                      scan_total: int | None):
+                      scan_total: int | None, from_iq: bool = False):
     """Per-shard body for time-sharded demod.
 
     m_local: int32[B_loc, T] — a batch of channel rows (the batch dim may
@@ -105,7 +105,17 @@ def _shard_demod_body(m_local: jax.Array, tail: jax.Array, axis: str,
     consumed as the LAST shard's right halo.  Exchanges halos over ICI, scans
     the owned positions [idx*T, (idx+1)*T) of every row (clipped to
     scan_total when given), and returns local candidates with stream-global
-    positions."""
+    positions.
+
+    from_iq=True: m_local/tail arrive as raw uint8 IQ BYTES (2 per sample,
+    [B_loc, 2T] / [B_loc, 2*HALO]) and each shard computes its own
+    magnitudes locally — the host never touches (or re-uploads) the
+    magnitude timeline, and the sharded upload is the same uint8 volume as
+    the unsharded path's."""
+    if from_iq:
+        mag = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.int32))
+        m_local = mag(m_local)
+        tail = mag(tail)
     idx = lax.axis_index(axis)
     n_shards = lax.axis_size(axis)
 
@@ -160,15 +170,18 @@ def _shard_demod_body(m_local: jax.Array, tail: jax.Array, axis: str,
 
 def make_sharded_demod(mesh: Mesh, *, shard_samples: int, max_candidates: int = 512,
                        time_axis: str = "sp", batch_axis: str | None = "dp",
-                       scan_total: int | None = None, with_tail: bool = False):
+                       scan_total: int | None = None, with_tail: bool = False,
+                       from_iq: bool = False):
     """Build a jitted, mesh-sharded demod over `mesh`.
 
     Input: int32 magnitude [B, n_sp * shard_samples] sharded (batch_axis,
-    time_axis) — plus, when with_tail, int32 [B, HALO] of real samples
-    following the timeline (the reference buffer's post-scan region).
-    Output: per-shard Candidates with stream-global positions, sharded the
-    same way.  scan_total clips the owned scan range when the timeline is
-    padded to a multiple of the shard count."""
+    time_axis) — or, with from_iq, raw uint8 IQ bytes [B, 2 * n_sp *
+    shard_samples] (magnitudes are computed per shard) — plus, when
+    with_tail, [B, HALO] (or [B, 2*HALO] IQ) of real samples following the
+    timeline (the reference buffer's post-scan region).  Output: per-shard
+    Candidates with stream-global positions, sharded the same way.
+    scan_total clips the owned scan range when the timeline is padded to a
+    multiple of the shard count."""
     from jax.experimental.shard_map import shard_map
 
     body = functools.partial(
@@ -177,6 +190,7 @@ def make_sharded_demod(mesh: Mesh, *, shard_samples: int, max_candidates: int = 
         scan_per_shard=shard_samples,
         max_candidates=max_candidates,
         scan_total=scan_total,
+        from_iq=from_iq,
     )
     spec_in = P(batch_axis, time_axis)
     spec_tail = P(batch_axis, None)  # replicated along the time axis
@@ -190,6 +204,10 @@ def make_sharded_demod(mesh: Mesh, *, shard_samples: int, max_candidates: int = 
     )
     if with_tail:
         return jax.jit(fn)
+    if from_iq:  # silence in IQ bytes is 127,127 (zero magnitude)
+        return jax.jit(
+            lambda m: fn(m, jnp.full((m.shape[0], 2 * HALO), 127, m.dtype))
+        )
     return jax.jit(lambda m: fn(m, jnp.zeros((m.shape[0], HALO), m.dtype)))
 
 

@@ -56,3 +56,27 @@ def test_decode_captures_device_resolve_matches_host(modes1_path):
     for sd, sh in zip(dev, host):
         for a, b in zip(sd, sh):
             assert dataclasses.asdict(a) == dataclasses.asdict(b)
+
+
+def test_decode_captures_device_shares_dispatches(modes1_path, monkeypatch):
+    """The device strategy issues ceil(longest/batch) SHARED dispatches for
+    ALL streams together (round-3 directive: the per-stream SMEM-cache
+    kernel), not one pipeline per capture."""
+    import dump1090_tpu.ops.resolve as R
+
+    calls = {"n": 0}
+    real = R.demod_resolve_streams
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(R, "demod_resolve_streams", counting)
+
+    data = modes1_path.read_bytes()
+    caps = [data, data[:300_000], data[:262_144 + 8]]
+    dev = api.decode_captures(caps, device_resolve=True)
+    # longest capture = 2 decoded buffers (EOF race drops the tail), at 4
+    # buffers/dispatch -> exactly ONE shared dispatch for all 3 streams
+    assert calls["n"] == 1
+    assert sum(len(s) for s in dev) > 0

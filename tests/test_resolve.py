@@ -223,17 +223,14 @@ def test_device_fix_matches_host_fix():
             assert int(nfix[i]) == len(fixed), i
 
 
-def test_pallas_kernel_interpret_matches_xla(modes1_path):
-    """The Pallas scan kernel (interpret mode) against the lax.scan backend
-    on real candidates."""
-    bufs = _modes1_buffers(modes1_path)[:1]
-    import jax
+def _words_inputs(bufs, mc):
+    """Flat-stream kernel inputs (pf, w1, w2, nbuf) from real candidates."""
     import jax.numpy as jnp
 
     import dump1090_tpu.ops.resolve as R
     from dump1090_tpu.parallel.sharding import demod_batch
 
-    cand = demod_batch(jnp.asarray(bufs), scan_len=SCAN, max_candidates=256)
+    cand = demod_batch(jnp.asarray(bufs), scan_len=SCAN, max_candidates=mc)
     nb, mc = cand.pos.shape
     n_flat = nb * mc
     flat = lambda a: a.reshape((n_flat,) + a.shape[2:])  # noqa: E731
@@ -244,24 +241,64 @@ def test_pallas_kernel_interpret_matches_xla(modes1_path):
     w2, _, _ = R._pass_precompute(
         flat(cand.msg2), flat(cand.errors2), flat(cand.gate2), ag, fe
     )
+    nbuf = jnp.minimum(cand.n, mc).astype(jnp.int32)
     slot = jnp.arange(n_flat, dtype=jnp.int32)
-    valid = (slot % mc) < jnp.repeat(jnp.minimum(cand.n, mc), mc)
+    valid = (slot % mc) < jnp.repeat(nbuf, mc)
     pf = (
         jnp.minimum(flat(cand.pos), R.PF_POS_MASK)
         | valid.astype(jnp.int32) * R.PF_VALID
         | ((slot % mc) == 0).astype(jnp.int32) * R.PF_NEWBUF
         | flat(cand.gate1).astype(jnp.int32) * R.PF_GATE1
     )
+    return pf, w1, w2, nbuf
+
+
+@pytest.mark.parametrize("mc", [256, 4096])
+def test_pallas_kernel_interpret_matches_xla(modes1_path, mc):
+    """The Pallas kernel (interpret mode) against the lax.scan backend on
+    real candidates — both chunk geometries: many buffers per chunk
+    (mc=256) and one buffer spanning chunks (mc=4096 > RESOLVE_CHUNK).
+    The Pallas path walks only each buffer's valid prefix; the XLA twin
+    walks every slot — words/cache must match exactly."""
+    bufs = _modes1_buffers(modes1_path)[:2]
+    import jax.numpy as jnp
+
+    import dump1090_tpu.ops.resolve as R
+
+    pf, w1, w2, nbuf = _words_inputs(bufs, mc)
     ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
     ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
-    w_x, ca_x, ct_x, sk_x = R._resolve_words_xla(pf, w1, w2, ca, ct, jnp.int32(NOW))
-    w_p, ca_p, ct_p, sk_p = R._resolve_words_pallas(
-        pf, w1, w2, ca, ct, jnp.int32(NOW), interpret=True
+    w_x, ca_x, ct_x, _ = R._resolve_words_xla(pf, w1, w2, ca, ct, jnp.int32(NOW))
+    w_p, ca_p, ct_p = R._resolve_words_pallas(
+        pf, w1, w2, nbuf, ca, ct, jnp.int32(NOW), mc=mc, interpret=True
     )
     assert np.array_equal(np.asarray(w_x), np.asarray(w_p))
     assert np.array_equal(np.asarray(ca_x), np.asarray(ca_p))
     assert np.array_equal(np.asarray(ct_x), np.asarray(ct_p))
-    assert int(sk_x) == int(sk_p)
+
+
+def test_pallas_kernel_interpret_odd_geometry(modes1_path):
+    """Chunk geometry with mc that does not divide RESOLVE_CHUNK (96) and a
+    buffer count that does not fill the last chunk: padding pseudo-buffers
+    must be no-ops and results must equal the XLA twin."""
+    bufs = _modes1_buffers(modes1_path)[:3]
+    import jax.numpy as jnp
+
+    import dump1090_tpu.ops.resolve as R
+
+    pf, w1, w2, nbuf = _words_inputs(bufs, 96)
+    # 96 candidates/buffer < the densest modes1 buffer: clamp like the
+    # product does (overflowing buffers are retried at a larger shape by
+    # the host; the kernel itself must stay in bounds)
+    ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    w_x, ca_x, ct_x, _ = R._resolve_words_xla(pf, w1, w2, ca, ct, jnp.int32(NOW))
+    w_p, ca_p, ct_p = R._resolve_words_pallas(
+        pf, w1, w2, nbuf, ca, ct, jnp.int32(NOW), mc=96, interpret=True
+    )
+    assert np.array_equal(np.asarray(w_x), np.asarray(w_p))
+    assert np.array_equal(np.asarray(ca_x), np.asarray(ca_p))
+    assert np.array_equal(np.asarray(ct_x), np.asarray(ct_p))
 
 
 def test_pipeline_stream_raw_device(modes1_path, golden_dir):
@@ -280,11 +317,11 @@ def test_pipeline_stream_raw_device(modes1_path, golden_dir):
     assert (p.cache.addr != 0).any()
 
     p2 = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
-    p2._mo = 64  # force emitted-count overflow -> retry with sticky growth
+    p2._mos = p2._mol = 16  # force emitted-count overflow -> sticky growth
     with open(modes1_path, "rb") as f:
         out2 = b"".join(p2.stream_raw_device(f))
     assert out2 == golden
-    assert p2._mo >= 256
+    assert p2._mos >= 64 or p2._mol >= 64
 
 
 @pytest.mark.parametrize("fix,aggressive", [(True, False), (True, True)])
@@ -317,27 +354,40 @@ def test_run_device_full_field_equality(modes1_path, fix, aggressive):
     assert p_dev.stats == p_host.stats
 
 
-def test_segmented_scan_matches_unsegmented(modes1_path, monkeypatch):
-    """Batches larger than MAX_SCAN_SEGMENT candidates run the sequential
-    pass in segments with BOTH the cache and the skip state chained — cuts
-    may fall mid-buffer; results must equal one unsegmented pass."""
-    import dump1090_tpu.ops.resolve as R
+def test_packed_split_interleave_matches_unpacked(modes1_path, golden_dir):
+    """The packed wire format (split short/long arrays + rank-carried
+    re-interleave) must reconstruct the exact emission stream of the
+    unpacked path — and the golden raw bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.native import raw_lines_from_fields
+    from dump1090_tpu.ops.resolve import demod_resolve_batch, interleave_packed
 
     bufs = _modes1_buffers(modes1_path)
-    _, meta_one, msg_one, stats_one, _ = _device_resolve(bufs, crcok_only=False)
+    state = (
+        jnp.zeros(ICAO_CACHE_LEN, jnp.int32),
+        jnp.zeros(ICAO_CACHE_LEN, jnp.int32),
+    )
+    outs = demod_resolve_batch(
+        jnp.asarray(bufs), state[0], state[1], NOW, True, False,
+        scan_len=SCAN, max_candidates=256, max_out_short=512,
+        max_out_long=512, crcok_only=True, packed=True,
+    )
+    count, clong, shorts, longs, stats = jax.device_get(list(outs[1:6]))
+    msg, bits = interleave_packed(count, clong, shorts, longs)
+    lines = raw_lines_from_fields(msg, bits, np.ones(msg.shape[0], bool))
+    assert lines == (golden_dir / "golden_raw.txt").read_bytes()
 
-    monkeypatch.setattr(R, "MAX_SCAN_SEGMENT", 192)  # force MID-BUFFER cuts
-    # new jit trace: clear demod_resolve_batch's cache for the changed global
-    R.demod_resolve_batch._clear_cache()
-    try:
-        _, meta_seg, msg_seg, stats_seg, _ = _device_resolve(
-            bufs, crcok_only=False
+    # and field-for-field against the unpacked emission stream
+    _, meta_u, msg_u, _, _ = _device_resolve(bufs, crcok_only=True)
+    assert msg.shape[0] == len(meta_u)
+    for i in range(msg.shape[0]):
+        want_bits = 112 if meta_u[i] & META_LONG else 56
+        assert bits[i] == want_bits
+        assert bytes(msg[i, : want_bits // 8]) == bytes(
+            msg_u[i, : want_bits // 8]
         )
-    finally:
-        R.demod_resolve_batch._clear_cache()
-    assert np.array_equal(meta_seg, meta_one)
-    assert np.array_equal(msg_seg, msg_one)
-    assert np.array_equal(np.asarray(stats_seg), np.asarray(stats_one))
 
 
 def test_two_bit_fix_corner_all_backends(tmp_path):

@@ -184,3 +184,48 @@ def test_cli_device_interactive_tui(stub_lib, modes1_path, tmp_path):
     # modes1's dominant aircraft, present in the first buffer
     assert "4d2023" in r.stdout
     assert "Hex" in r.stdout and "Flight" in r.stdout  # table header
+
+
+def test_run_source_device_matches_run_source(stub_lib, monkeypatch, modes1_path):
+    """Live-capture buffers through the DEVICE resolver
+    (run_source_device -> _device_batches, dispatch_groups=1) must decode to
+    the same messages as the host-resolve live path over the same bytes —
+    and must actually take the device path (round-3 directive: the chip
+    advantage applies to live capture too)."""
+    import dataclasses
+
+    from dump1090_tpu.io.rtlsdr import RtlSdrSource
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    nbytes = 2 * DATA_LEN_BYTES
+    data = np.fromfile(modes1_path, dtype=np.uint8)[:nbytes]
+    stub_data = Path(str(stub_lib.parent / "capture_dev.bin"))
+    data.tofile(stub_data)
+
+    monkeypatch.setenv("DUMP1090_TPU_LIBRTLSDR", str(stub_lib))
+    monkeypatch.setenv("RTLSDR_STUB_DATA", str(stub_data))
+    # no pacing: the mailbox hands over both buffers deterministically only
+    # when the consumer keeps up, so let the stub block between transfers
+    monkeypatch.setenv("RTLSDR_STUB_DELAY_US", "200000")
+
+    # warm the compile caches so the paced stream is kept up with
+    warm = DemodPipeline(PipelineConfig(batch_buffers=1))
+    warm.run_device(io.BytesIO(data.tobytes()), lambda mm: None)
+
+    src = RtlSdrSource(err=io.StringIO())
+    p_dev = DemodPipeline(PipelineConfig(batch_buffers=1))
+    got = []
+    p_dev.run_source_device(src.buffers(), got.append)
+    # the device path initializes the packed/emission shapes; the host
+    # path never touches them — proves which pipeline ran
+    assert p_dev._mo is not None
+
+    src2 = RtlSdrSource(err=io.StringIO())
+    p_host = DemodPipeline(PipelineConfig(batch_buffers=1))
+    want = []
+    p_host.run_source(src2.buffers(), want.append)
+
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+    assert p_dev.stats == p_host.stats

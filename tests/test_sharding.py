@@ -4,6 +4,8 @@ Checks the overlap-save halo exchange (jax.lax.ppermute) yields candidates
 identical to an unsharded scan — no message lost or duplicated at shard
 boundaries (SURVEY §2.5, §5)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -245,3 +247,56 @@ def test_demod_resolve_batch_dp_sharded(modes1_path):
     assert int(h_sh[1]) > 1000  # n, count, msg, meta, stats all equal
     for a, b in zip(h_sh, h_un):
         np.testing.assert_array_equal(a, b)
+
+
+@needs_8
+def test_decode_capture_sharded_device_resolve(modes1_path, golden_dir):
+    """The sharded path with the sequential replay ON DEVICE
+    (ops.resolve.resolve_candidate_segments over per-shard candidate
+    segments, skip reset per ROW not per segment): full field equality and
+    stats vs the host-resolve sharded path."""
+    import dataclasses
+
+    from dump1090_tpu.api import decode_capture_sharded
+    from dump1090_tpu.models.decoder import DecoderStats
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    st_d = DecoderStats()
+    dev = decode_capture_sharded(
+        str(modes1_path), mesh=mesh, stats=st_d, device_resolve=True
+    )
+    st_h = DecoderStats()
+    host = decode_capture_sharded(
+        str(modes1_path), mesh=mesh, stats=st_h, device_resolve=False
+    )
+    assert len(dev) == len(host) > 0
+    for a, b in zip(dev, host):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+    assert st_d == st_h
+    lines = [f"*{m.msg[:m.msgbits // 8].hex()};" for m in dev if m.crcok]
+    golden = (golden_dir / "golden_raw.txt").read_text().split()
+    assert lines == golden
+
+
+@needs_8
+def test_decode_capture_sharded_device_resolve_overflow_retry(modes1_path):
+    """Tiny shapes force BOTH overflow kinds through the device-resolve
+    sharded path (per-shard candidates and emitted messages); sticky growth
+    must retry from the pre-group cache state and stay bit-identical."""
+    from dump1090_tpu.api import decode_capture_sharded
+    from dump1090_tpu.models.decoder import DecoderStats
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    data = Path(str(modes1_path)).read_bytes()[: 2 * 262144]
+    st_d = DecoderStats()
+    # max_candidates=16 overflows (dense shards), and the device path's
+    # initial max_out is forced down via a tiny capture decode
+    dev = decode_capture_sharded(
+        data, mesh=mesh, stats=st_d, device_resolve=True, max_candidates=16
+    )
+    st_h = DecoderStats()
+    host = decode_capture_sharded(
+        data, mesh=mesh, stats=st_h, device_resolve=False, max_candidates=16
+    )
+    assert [(m.msg, m.crcok) for m in dev] == [(m.msg, m.crcok) for m in host]
+    assert st_d == st_h
