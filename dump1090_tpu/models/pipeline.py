@@ -316,8 +316,11 @@ class DemodPipeline:
         if self._mo is None:
             self._mo = max(4096, nb * self._mc // 2)
         if self._mos is None:
+            # sized so the densest real fixture (modes1: ~39 short / ~65
+            # long emissions per buffer at mc=256) fits without a first-
+            # group overflow retry; quiet air shrinks via adapt_down
             self._mos = max(2048, nb * self._mc // 4)
-            self._mol = max(2048, nb * self._mc // 4)
+            self._mol = max(2048, nb * self._mc // 3)
         dcfg = self.cfg.decoder
         ca = jnp.asarray(self.cache.addr.astype(np.int64).astype(np.int32))
         ct = jnp.asarray(np.clip(self.cache.ts, 0, 2**31 - 1).astype(np.int32))

@@ -458,10 +458,16 @@ def _resolve_kernel_factory(mc: int, chunk: int, cps: int | None = None):
     stream is a concatenation of INDEPENDENT streams of cps chunks each
     (decode_captures sharing one dispatch across captures): the kernel swaps
     the SMEM cache at stream boundaries — cache rows ca_in/[ct_in] are (1,
-    ICAO_CACHE_LEN) blocks indexed by stream."""
+    ICAO_CACHE_LEN) blocks indexed by stream.
+
+    h12 carries both passes' precomputed ICAO-cache hash slots (pass1 in
+    bits 0..9, pass2 in bits 10..19): one extra SMEM load replaces six
+    32-bit multiplies+shifts per step — measured 93 -> 74 ns/step in situ
+    (the round-2 toy-body measurement that called this a wash does not hold
+    inside the full kernel, where the loads pipeline)."""
 
     def kernel(nbuf_ref, now_ref,
-               pf_ref, w1_ref, w2_ref, ca_in_ref, ct_in_ref,
+               pf_ref, w1_ref, w2_ref, h12_ref, ca_in_ref, ct_in_ref,
                words_ref, ca_out_ref, ct_out_ref,
                ca_ref, ct_ref, skip_ref):
         c = pl.program_id(0)
@@ -489,29 +495,41 @@ def _resolve_kernel_factory(mc: int, chunk: int, cps: int | None = None):
 
         def step(i, skip):
             state = {}
+            h12 = h12_ref[i]
+            # _step_semantics calls lookup exactly once per pass, in pass
+            # order — the trace-time counter selects the matching
+            # prefetched hash (bits 0..9 pass 1, 10..19 pass 2)
+            hs = [h12 & 0x3FF, (h12 >> 10) & 0x3FF]
+            ncall = [0]
 
             def lookup(addr):
-                h = icao_hash(addr)
+                h = hs[ncall[0]]
+                ncall[0] += 1
                 a = ca_ref[h]
                 t = ct_ref[h]
                 return (a == addr) & (a != 0) & (now - t <= ICAO_CACHE_TTL)
 
             def add(cond, addr):
+                # the pass whose lookup just ran is the one adding
+                h = hs[ncall[0] - 1]
                 prev = state.get("add")
                 if prev is None:
-                    state["add"] = (cond, addr)
+                    state["add"] = (cond, addr, h)
                 else:
-                    pc, pa = prev
-                    state["add"] = (pc | cond, jnp.where(pc, pa, addr))
+                    pc, pa, ph = prev
+                    state["add"] = (
+                        pc | cond,
+                        jnp.where(pc, pa, addr),
+                        jnp.where(pc, ph, h),
+                    )
 
             word, skip = _step_semantics(
                 pf_ref[i], w1_ref[i], w2_ref[i], skip, lookup, add
             )
-            cond, addr = state["add"]
+            cond, addr, h = state["add"]
 
             @pl.when(cond)
             def _():
-                h = icao_hash(addr)
                 ca_ref[h] = addr
                 ct_ref[h] = now
 
@@ -544,6 +562,12 @@ def _resolve_kernel_factory(mc: int, chunk: int, cps: int | None = None):
     return kernel
 
 
+def _hash_words(w1, w2):
+    """Both passes' ICAO-cache hash slots packed per candidate (pass1 bits
+    0..9, pass2 bits 10..19) — prefetched into the kernel's SMEM stream."""
+    return icao_hash(w1 & W_ADDR_MASK) | (icao_hash(w2 & W_ADDR_MASK) << 10)
+
+
 def _resolve_words_pallas(pf, w1, w2, nbuf, cache_addr, cache_ts, now, *,
                           mc: int, interpret: bool = False):
     """Pallas backend over the flat candidate stream.
@@ -556,11 +580,13 @@ def _resolve_words_pallas(pf, w1, w2, nbuf, cache_addr, cache_ts, now, *,
     chunk, nbp, grid = _chunk_geometry(mc, n_buffers)
     n = pf.shape[0]
     n_pad = nbp * mc
+    h12 = _hash_words(w1, w2)
     if n_pad != n:  # pad with empty pseudo-buffers (count 0 -> never walked)
         z = jnp.zeros(n_pad - n, jnp.int32)
         pf = jnp.concatenate([pf, z])
         w1 = jnp.concatenate([w1, z])
         w2 = jnp.concatenate([w2, z])
+        h12 = jnp.concatenate([h12, z])
     if nbp != n_buffers:
         nbuf = jnp.concatenate(
             [nbuf, jnp.zeros(nbp - n_buffers, jnp.int32)]
@@ -574,6 +600,7 @@ def _resolve_words_pallas(pf, w1, w2, nbuf, cache_addr, cache_ts, now, *,
             num_scalar_prefetch=2,
             grid=(grid,),
             in_specs=[
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
@@ -598,7 +625,7 @@ def _resolve_words_pallas(pf, w1, w2, nbuf, cache_addr, cache_ts, now, *,
         ],
         interpret=interpret,
     )(nbuf, jnp.asarray(now, jnp.int32).reshape(1),
-      pf, w1, w2, cache_addr, cache_ts)
+      pf, w1, w2, h12, cache_addr, cache_ts)
     # skipped slots hold stale SMEM block contents: zero them (the XLA twin
     # emits exact zeros there, and stats/emission read the whole array)
     slot = jnp.arange(n, dtype=jnp.int32)
@@ -624,6 +651,7 @@ def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
         )
     n = pf.shape[0]
     grid = grid_per * n_streams
+    h12 = _hash_words(w1, w2)
 
     blk = lambda c, *_: (c,)  # noqa: E731
     srow = lambda c, *_: (c // grid_per, 0)  # noqa: E731
@@ -633,6 +661,7 @@ def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
             num_scalar_prefetch=2,
             grid=(grid,),
             in_specs=[
+                pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
@@ -657,7 +686,7 @@ def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
         ],
         interpret=interpret,
     )(nbuf, jnp.asarray(now, jnp.int32).reshape(1),
-      pf, w1, w2, cache_addr, cache_ts)
+      pf, w1, w2, h12, cache_addr, cache_ts)
     return words, ca, ct
 
 
@@ -701,6 +730,14 @@ def demod_resolve_streams(
             f"limit of the resolver word layout"
         )
     s_n, nb, nbytes = xs.shape
+    if pallas and s_n * nb * max_candidates * 4 > (1 << 20) - (64 << 10):
+        # the window-gather kernel scalar-prefetches every candidate
+        # position into SMEM (~1 MB); keep streams x batch under that
+        raise ValueError(
+            f"{s_n} streams x {nb} buffers x {max_candidates} candidates "
+            f"exceeds the gather kernel's SMEM prefetch budget; lower the "
+            f"per-dispatch batch"
+        )
     cand = demod_batch(
         xs.reshape(s_n * nb, nbytes), scan_len=scan_len,
         max_candidates=max_candidates, pallas=pallas,
@@ -792,6 +829,36 @@ def use_device_resolve() -> bool:
 _use_pallas_resolve = use_device_resolve  # internal alias
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scan_len", "max_candidates")
+)
+def _group_front(xg, *, scan_len: int, max_candidates: int):
+    """Program A of the two-program group pipeline: magnitudes + preamble
+    predicate + position compaction for every batch of the group.
+
+    A SEPARATE XLA program from the back half ON PURPOSE: fused into one
+    program, XLA re-materializes the magnitude vector for each shifted
+    predicate view and for the window gather, costing ~2 ms/batch of extra
+    HBM traffic that optimization_barrier does NOT recover (measured); a
+    real program boundary forces `m` to materialize once (8.7 -> 7.2
+    ms/batch for the full demod+precompute+scan chain).  Outputs stay on
+    the device for program B."""
+    from ..ops.magnitude import magnitude_from_iq
+
+    def per_batch(xb):
+        from ..ops.demod import compact_positions, preamble_mask
+
+        m = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(xb)
+        mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m)
+        n = mask.sum(axis=1).astype(jnp.int32)
+        pos = jax.vmap(
+            lambda r: compact_positions(r, max_candidates, scan_len)
+        )(mask)
+        return m, n, pos
+
+    return lax.scan(lambda c, xb: (c, per_batch(xb)), 0, xg)[1]
+
+
 # NOTE: cache_addr/cache_ts are NOT donated although they look like an
 # in-place carry: overflow checks (counts vs the static shapes) happen on
 # the host AFTER the call, and the retry re-runs from the PRIOR state —
@@ -804,94 +871,68 @@ _use_pallas_resolve = use_device_resolve  # internal alias
         "max_out_long", "crcok_only", "pallas", "packed",
     ),
 )
-def demod_resolve_group(
-    xg: jax.Array,
-    cache_addr: jax.Array,
-    cache_ts: jax.Array,
-    now: jax.Array,
-    fix_errors: jax.Array,
-    aggressive: jax.Array,
-    *,
-    scan_len: int,
-    max_candidates: int,
-    max_out: int = 0,
-    max_out_short: int = 0,
-    max_out_long: int = 0,
-    crcok_only: bool = True,
-    pallas: bool | None = None,
-    packed: bool = True,
+def _group_back(
+    m_g, n_g, pos_g, cache_addr, cache_ts, now, fix_errors, aggressive, *,
+    scan_len: int, max_candidates: int, max_out: int, max_out_short: int,
+    max_out_long: int, crcok_only: bool, pallas: bool, packed: bool,
 ):
-    """Fused device pipeline over a dispatch GROUP: xg is (G, NB, nbytes)
-    uint8 IQ — one program demodulates every buffer, resolves the whole
-    candidate stream in ONE Pallas kernel call (the ICAO cache and the
-    per-buffer skip state chain through it in stream order), and emits each
-    batch's messages.  One dispatch and one fetch per G batches — the
-    sustained-throughput protocol (bench.py measures it;
-    DemodPipeline._device_batches uses it for file decode).
+    """Program B: candidate-window gather + both demod passes + the
+    order-independent precompute + the single sequential kernel pass + stats
+    and emission.  Consumes program A's device-resident outputs."""
+    from ..ops.demod import candidate_passes_window, gather_candidate_windows
 
-    Returns, with packed=True (the raw/stats wire format):
-      n        int32[G, NB]        exact preamble count per buffer
-      count    int32[G]            exact emitted-message count per batch
-      count_long int32[G]          how many of those are 112-bit frames
-      shorts   uint8[G, mos, 9]    7 frame bytes + emission rank (lo, hi)
-      longs    uint8[G, mol, 14]   14 frame bytes, in emission order
-      stats    int32[G, 8]         reference counter deltas (DecoderStats order)
-      cache_addr', cache_ts'
-    Short rows carry their rank in the batch's emission sequence so the host
-    re-interleaves exactly; long rows fill the remaining ranks in order.
-    Overflow is detected from the exact counts (count-count_long > mos or
-    count_long > mol), never silently truncated.
-
-    With packed=False (the full-fidelity hub format):
-      n, count, msg uint8[G, max_out, 14], meta int32[G, max_out], stats,
-      cache_addr', cache_ts'
-    where meta is pos<<12 | (errorbit+1)<<4 | pass<<3 | long<<2 | phase<<1
-    | crcok (see the META_* constants; models/decoder.py message_from_device
-    consumes it).
-    """
-    from ..parallel.sharding import demod_batch
-
-    if pallas is None:
-        pallas = _use_pallas_resolve()
-    if scan_len > PF_POS_MASK:
-        raise ValueError(
-            f"scan_len {scan_len} exceeds the {PF_POS_MASK} packed-position "
-            f"limit of the resolver word layout"
-        )
-
-    g_n, nb, nbytes = xg.shape
-    cand = demod_batch(
-        xg.reshape(g_n * nb, nbytes), scan_len=scan_len,
-        max_candidates=max_candidates, pallas=pallas,
-    )
-    nbuf_total, mc = cand.pos.shape
-    n_flat = nbuf_total * mc
+    g_n, nb = n_g.shape
+    mc = max_candidates
     per_batch = nb * mc
-
-    def flat(a):
-        return a.reshape((n_flat,) + a.shape[2:])
+    n_flat = g_n * per_batch
 
     fe = jnp.asarray(fix_errors).astype(bool)
     ag = jnp.asarray(aggressive).astype(bool)
     now = jnp.asarray(now).astype(jnp.int32)
 
-    w1, msg1f, aux1 = _pass_precompute(
-        flat(cand.msg1), flat(cand.errors1), flat(cand.gate1), ag, fe
-    )
-    w2, msg2f, aux2 = _pass_precompute(
-        flat(cand.msg2), flat(cand.errors2), flat(cand.gate2), ag, fe
-    )
+    # per-batch under a scan: the window-gather kernel scalar-prefetches the
+    # candidate positions, so one gather over G*NB buffers would exceed its
+    # SMEM budget (and per-batch keeps peak HBM at one batch's windows)
+    def back_pre(_, args):
+        m, n, pos = args
+        w = gather_candidate_windows(m, pos, pallas=pallas)
+        msg1, errors1, gate1, msg2, errors2, gate2 = jax.vmap(
+            jax.vmap(candidate_passes_window)
+        )(w, pos)
 
-    nbuf = jnp.minimum(cand.n, mc).astype(jnp.int32)
-    slot = jnp.arange(n_flat, dtype=jnp.int32)
-    valid = (slot % mc) < jnp.repeat(nbuf, mc)
-    pos = flat(cand.pos)
-    pf = (
-        jnp.minimum(pos, PF_POS_MASK)
-        | valid.astype(jnp.int32) * PF_VALID
-        | ((slot % mc) == 0).astype(jnp.int32) * PF_NEWBUF
-        | flat(cand.gate1).astype(jnp.int32) * PF_GATE1
-    )
+        def fb(a):
+            return a.reshape((per_batch,) + a.shape[2:])
+
+        w1, msg1f, aux1 = _pass_precompute(
+            fb(msg1), fb(errors1), fb(gate1), ag, fe
+        )
+        w2, msg2f, aux2 = _pass_precompute(
+            fb(msg2), fb(errors2), fb(gate2), ag, fe
+        )
+        nbuf_b = jnp.minimum(n, mc).astype(jnp.int32)
+        slot = jnp.arange(per_batch, dtype=jnp.int32)
+        valid_b = (slot % mc) < jnp.repeat(nbuf_b, mc)
+        pos_b = fb(pos)
+        pf_b = (
+            jnp.minimum(pos_b, PF_POS_MASK)
+            | valid_b.astype(jnp.int32) * PF_VALID
+            | ((slot % mc) == 0).astype(jnp.int32) * PF_NEWBUF
+            | fb(gate1).astype(jnp.int32) * PF_GATE1
+        )
+        return _, (nbuf_b, pf_b, w1, w2, msg1f, msg2f, aux1, aux2)
+
+    _, (nbuf_st, pf_st, w1_st, w2_st, msg1f_st, msg2f_st, aux1_st,
+        aux2_st) = lax.scan(back_pre, 0, (m_g, n_g, pos_g))
+
+    def flat(a):
+        return a.reshape((n_flat,) + a.shape[2:])
+
+    pf, w1, w2 = flat(pf_st), flat(w1_st), flat(w2_st)
+    msg1f, msg2f = flat(msg1f_st), flat(msg2f_st)
+    aux1 = {k: flat(v) for k, v in aux1_st.items()}
+    aux2 = {k: flat(v) for k, v in aux2_st.items()}
+    nbuf = nbuf_st.reshape(g_n * nb)
+    pos = pf & PF_POS_MASK
 
     ca = cache_addr.astype(jnp.int32)
     ct = cache_ts.astype(jnp.int32)
@@ -917,7 +958,73 @@ def demod_resolve_group(
         by_batch(words), by_batch(msg1f), by_batch(msg2f), by_batch(pos),
         aux1_b, aux2_b,
     )
-    return (cand.n.reshape(g_n, nb),) + outs + (ca, ct)
+    return (n_g,) + outs + (ca, ct)
+
+
+def demod_resolve_group(
+    xg: jax.Array,
+    cache_addr: jax.Array,
+    cache_ts: jax.Array,
+    now: jax.Array,
+    fix_errors: jax.Array,
+    aggressive: jax.Array,
+    *,
+    scan_len: int,
+    max_candidates: int,
+    max_out: int = 0,
+    max_out_short: int = 0,
+    max_out_long: int = 0,
+    crcok_only: bool = True,
+    pallas: bool | None = None,
+    packed: bool = True,
+):
+    """Device pipeline over a dispatch GROUP: xg is (G, NB, nbytes) uint8
+    IQ -> every buffer demodulated, the whole candidate stream resolved in
+    ONE Pallas kernel pass (the ICAO cache and the per-buffer skip state
+    chain through it in stream order), each batch's messages emitted.  TWO
+    chained XLA programs per group (front: magnitude+predicate+compaction;
+    back: gather+passes+precompute+kernel+emission — see _group_front for
+    why the boundary is worth ~1.5 ms/batch), both enqueued from one call;
+    one fetch per G batches.  This is the sustained-throughput protocol
+    (bench.py measures it; DemodPipeline._device_batches uses it for file
+    decode).
+
+    Returns, with packed=True (the raw/stats wire format):
+      n        int32[G, NB]        exact preamble count per buffer
+      count    int32[G]            exact emitted-message count per batch
+      count_long int32[G]          how many of those are 112-bit frames
+      shorts   uint8[G, mos, 9]    7 frame bytes + emission rank (lo, hi)
+      longs    uint8[G, mol, 14]   14 frame bytes, in emission order
+      stats    int32[G, 8]         reference counter deltas (DecoderStats order)
+      cache_addr', cache_ts'
+    Short rows carry their rank in the batch's emission sequence so the host
+    re-interleaves exactly; long rows fill the remaining ranks in order.
+    Overflow is detected from the exact counts (count-count_long > mos or
+    count_long > mol), never silently truncated.
+
+    With packed=False (the full-fidelity hub format):
+      n, count, msg uint8[G, max_out, 14], meta int32[G, max_out], stats,
+      cache_addr', cache_ts'
+    where meta is pos<<12 | (errorbit+1)<<4 | pass<<3 | long<<2 | phase<<1
+    | crcok (see the META_* constants; models/decoder.py message_from_device
+    consumes it).
+    """
+    if pallas is None:
+        pallas = _use_pallas_resolve()
+    if scan_len > PF_POS_MASK:
+        raise ValueError(
+            f"scan_len {scan_len} exceeds the {PF_POS_MASK} packed-position "
+            f"limit of the resolver word layout"
+        )
+    m_g, n_g, pos_g = _group_front(
+        xg, scan_len=scan_len, max_candidates=max_candidates
+    )
+    return _group_back(
+        m_g, n_g, pos_g, cache_addr, cache_ts, now, fix_errors, aggressive,
+        scan_len=scan_len, max_candidates=max_candidates, max_out=max_out,
+        max_out_short=max_out_short, max_out_long=max_out_long,
+        crcok_only=crcok_only, pallas=pallas, packed=packed,
+    )
 
 
 def _postprocess_batch(words, msg1f, msg2f, pos, aux1, aux2, *,

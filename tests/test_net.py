@@ -149,3 +149,55 @@ def test_debug_net_lines_reference_wording(capsys):
     assert "\nHTTP request: GET /data.json" in out
     assert "\nHTTP keep alive: 1\n" in out or "\nHTTP keep alive: 0\n" in out
     assert re.search(r"^HTTP requested URL: /data.json\n$", out, re.M)
+
+
+def test_stalled_client_dropped_at_buffer_bound(services):
+    """Broadcast drop policy pinned (round-2 review weak #6): the reference
+    drops a client on any short write (dump1090.c:2372-2375 ->
+    modesFreeClient); the asyncio port bounds the write buffer instead and
+    drops the client at the NEXT broadcast after it exceeds
+    MAX_WRITE_BUFFER.  A stalled reader must be disconnected rather than
+    buffering without limit; live clients keep receiving."""
+    net, (ro, ri, http, sbs), stats = services
+
+    stalled = socket.create_connection(("127.0.0.1", ro), timeout=5)
+    live = socket.create_connection(("127.0.0.1", ro), timeout=5)
+    live.settimeout(10)
+    time.sleep(0.2)
+
+    # small asyncio-side bound so the test fills it fast
+    old = net.MAX_WRITE_BUFFER
+    net.MAX_WRITE_BUFFER = 64 * 1024
+    try:
+        line = "*8d4d2023587f345e35837e2218b2;\n"
+        # never read from `stalled`: the kernel socket buffers (~MBs) fill
+        # first, then asyncio's user-space write buffer grows past the
+        # bound, then the next broadcast drops the client.  Push ~8 MB in
+        # big chunks so the queue outruns every kernel buffer.
+        for _ in range(800):
+            net.broadcast_raw(line * 320)
+        deadline = time.time() + 10
+        dropped = False
+        while time.time() < deadline:
+            time.sleep(0.1)
+            if not net._raw_clients or all(
+                w.transport.is_closing() for w in net._raw_clients
+            ) or len(net._raw_clients) < 2:
+                dropped = True
+                break
+        assert dropped, "stalled client was never dropped"
+        # the live client still receives subsequent broadcasts
+        live_data = b""
+        live.setblocking(False)
+        deadline = time.time() + 5
+        while time.time() < deadline and len(live_data) < len(line):
+            net.broadcast_raw(line)
+            try:
+                live_data += live.recv(65536)
+            except BlockingIOError:
+                time.sleep(0.05)
+        assert line.encode() in live_data or len(live_data) >= len(line)
+    finally:
+        net.MAX_WRITE_BUFFER = old
+        stalled.close()
+        live.close()
