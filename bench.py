@@ -330,8 +330,10 @@ def main() -> None:
         t0 = time.perf_counter()
         _ = float(jax.device_get(fused(x, ca, ct, L)[2]))
         best = min(best, (time.perf_counter() - t0) / L)
-    log(f"device demod+resolve: {best*1e3:.2f} ms/batch -> "
-        f"{new_per_batch/best/1e6:.0f} Msamples/s")
+    log(f"per-batch fused demod+resolve (G=1, jit-inlined, unamortized "
+        f"launch/boundary): {best*1e3:.2f} ms/batch -> "
+        f"{new_per_batch/best/1e6:.0f} Msamples/s (the grouped product path "
+        f"above runs ~7.2 ms/batch)")
 
     # ---- sparse air: resolve tax must be density-proportional --------------
     # Realistic quiet-air density (~3 frames per 65 ms buffer vs modes1's
