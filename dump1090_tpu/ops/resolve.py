@@ -457,8 +457,10 @@ def _resolve_kernel_factory(mc: int, chunk: int, cps: int | None = None):
     the first grid step and stored at the last.  An int = the flat slot
     stream is a concatenation of INDEPENDENT streams of cps chunks each
     (decode_captures sharing one dispatch across captures): the kernel swaps
-    the SMEM cache at stream boundaries — cache rows ca_in/[ct_in] are (1,
-    ICAO_CACHE_LEN) blocks indexed by stream.
+    the SMEM cache at stream boundaries — the caches arrive FLATTENED to
+    (S * ICAO_CACHE_LEN,) and each grid step's block is its stream's
+    1024-slot row (TPU block shapes must be 1-D-divisible by 128; a (1,
+    1024) 2-D row block does not lower).
 
     h12 carries both passes' precomputed ICAO-cache hash slots (pass1 in
     bits 0..9, pass2 in bits 10..19): one extra SMEM load replaces six
@@ -475,17 +477,13 @@ def _resolve_kernel_factory(mc: int, chunk: int, cps: int | None = None):
         now = now_ref[0]
 
         def load_cache(i, _):
-            ca_ref[i] = ca_in_ref[i] if cps is None else ca_in_ref[0, i]
-            ct_ref[i] = ct_in_ref[i] if cps is None else ct_in_ref[0, i]
+            ca_ref[i] = ca_in_ref[i]
+            ct_ref[i] = ct_in_ref[i]
             return 0
 
         def store_cache(i, _):
-            if cps is None:
-                ca_out_ref[i] = ca_ref[i]
-                ct_out_ref[i] = ct_ref[i]
-            else:
-                ca_out_ref[0, i] = ca_ref[i]
-                ct_out_ref[0, i] = ct_ref[i]
+            ca_out_ref[i] = ca_ref[i]
+            ct_out_ref[i] = ct_ref[i]
             return 0
 
         @pl.when(c == 0 if cps is None else c % cps == 0)
@@ -654,7 +652,7 @@ def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
     h12 = _hash_words(w1, w2)
 
     blk = lambda c, *_: (c,)  # noqa: E731
-    srow = lambda c, *_: (c // grid_per, 0)  # noqa: E731
+    srow = lambda c, *_: (c // grid_per,)  # noqa: E731
     words, ca, ct = pl.pallas_call(
         _resolve_kernel_factory(mc, chunk, cps=grid_per),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -665,13 +663,13 @@ def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), srow, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), srow, memory_space=pltpu.SMEM),
             ],
             out_specs=[
                 pl.BlockSpec((chunk,), blk, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, ICAO_CACHE_LEN), srow, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), srow, memory_space=pltpu.SMEM),
+                pl.BlockSpec((ICAO_CACHE_LEN,), srow, memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
                 pltpu.SMEM((ICAO_CACHE_LEN,), jnp.int32),
@@ -681,13 +679,16 @@ def _resolve_words_pallas_streams(pf, w1, w2, nbuf, cache_addr, cache_ts,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n_streams, ICAO_CACHE_LEN), jnp.int32),
-            jax.ShapeDtypeStruct((n_streams, ICAO_CACHE_LEN), jnp.int32),
+            jax.ShapeDtypeStruct((n_streams * ICAO_CACHE_LEN,), jnp.int32),
+            jax.ShapeDtypeStruct((n_streams * ICAO_CACHE_LEN,), jnp.int32),
         ],
         interpret=interpret,
     )(nbuf, jnp.asarray(now, jnp.int32).reshape(1),
-      pf, w1, w2, h12, cache_addr, cache_ts)
-    return words, ca, ct
+      pf, w1, w2, h12,
+      cache_addr.reshape(n_streams * ICAO_CACHE_LEN),
+      cache_ts.reshape(n_streams * ICAO_CACHE_LEN))
+    return (words, ca.reshape(n_streams, ICAO_CACHE_LEN),
+            ct.reshape(n_streams, ICAO_CACHE_LEN))
 
 
 @functools.partial(

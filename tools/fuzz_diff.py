@@ -94,6 +94,18 @@ def decode_ours(stream: np.ndarray, mode: str) -> list[str]:
         fix_errors=not mode.endswith("nofix"),
         aggressive=mode.endswith("aggressive"),
     )
+    if mode.startswith("sharded"):
+        # the time-sharded multi-chip path (requires a multi-device mesh,
+        # e.g. XLA_FLAGS=--xla_force_host_platform_device_count=8);
+        # sharded-device additionally resolves the merged candidate stream
+        # on device (ops/resolve.py resolve_candidate_segments)
+        from dump1090_tpu.api import decode_capture_sharded
+
+        msgs = decode_capture_sharded(
+            stream.tobytes(), config=cfg, crcok_only=True,
+            device_resolve=mode.endswith("device"),
+        )
+        return ["*" + m.msg[: m.msgbits // 8].hex() + ";" for m in msgs]
     p = DemodPipeline(PipelineConfig(decoder=cfg, batch_buffers=4))
     if mode.startswith("device"):
         # the fully-fused on-device resolver path (ops/resolve.py)
@@ -138,7 +150,7 @@ def main() -> None:
     ap.add_argument("--mode", default="raw",
                     choices=["raw", "nofix", "aggressive", "verbose",
                              "device", "device-nofix", "device-aggressive",
-                             "device-verbose"])
+                             "device-verbose", "sharded", "sharded-device"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
