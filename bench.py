@@ -195,12 +195,18 @@ def main() -> None:
         """The PRODUCT group program (ops.resolve.demod_resolve_group, the
         same function DemodPipeline dispatches): G batches resolved in ONE
         Pallas kernel pass, one fetch."""
+        from dump1090_tpu.models.pipeline import start_d2h
+
         out = demod_resolve_group(
             x, ca, ct, 1_700_000_000, True, False,
             scan_len=scan_len, max_candidates=MC,
             max_out_short=MOS, max_out_long=MOL,
             crcok_only=True, packed=True,
         )
+        # enqueue async D2H at dispatch time: the copies pipeline on the
+        # tunnel (~2.6x a blocking device_get) and overlap the next group's
+        # compute, keeping the fetch stage hidden even in slow-link moods
+        start_d2h(out[:6])
         return out[:6], out[-2], out[-1]
 
     ca = jax.device_put(jnp.zeros(ICAO_CACHE_LEN, jnp.int32))

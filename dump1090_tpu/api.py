@@ -26,7 +26,7 @@ import numpy as np
 
 from .constants import BUF_SAMPLES, FULL_LEN_SAMPLES, SCAN_POSITIONS
 from .models.decoder import DecoderConfig, DecoderStats, IcaoCache, ModesMessage
-from .models.pipeline import DemodPipeline, PipelineConfig
+from .models.pipeline import DemodPipeline, PipelineConfig, start_d2h
 from .models.resolver import BlockCandidates, resolve_block
 
 
@@ -161,6 +161,7 @@ def decode_captures(
                     jnp.asarray(x), scan_len=scan_len,
                     max_candidates=mc_box["mc"],
                 )
+                start_d2h(cand)
                 work = (cand, live, x)
             if pending is not None:
                 _resolve_rows(pending, states, dcfg, mc_box)
@@ -244,6 +245,7 @@ def _decode_captures_device(
                         max_out=shapes["mo"], crcok_only=False,
                     )
                 )
+                start_d2h((n_d, count_d, msg_d, meta_d))
                 n_h, count_h = jax.device_get([n_d, count_d])
                 if int(n_h.max()) > shapes["mc"]:
                     shapes["mc"] *= 4  # sticky growth; retry from pre state
@@ -523,6 +525,7 @@ def _resolve_group_on_device(get_fn, iq_main, tail, mc_box, dp_n, sp_n,
             ca, ct, cache.clock(), dcfg.fix_errors, dcfg.aggressive,
             n_rows=dp_n, max_out=mc_box["mo"], crcok_only=False,
         )
+        start_d2h((cand.n, count, msg, meta, stats_d))
         n_h, count_h = jax.device_get([cand.n, count])
         if int(n_h.max()) > mc:
             if mc >= SCAN_POSITIONS // 2 + 1:

@@ -28,6 +28,25 @@ from .decoder import DecoderConfig, DecoderStats, IcaoCache, ModesMessage
 from .resolver import BlockCandidates, resolve_block
 
 
+def start_d2h(arrays) -> None:
+    """Enqueue async device->host copies of `arrays` (any iterable of
+    jax.Arrays) so a later jax.device_get finds the bytes already on — or
+    streaming to — the host.
+
+    On the tunneled TPU runtime a plain device_get serializes per-array
+    round trips (~12 MB/s measured, ~34 ms floor each); copies pre-issued
+    with copy_to_host_async pipeline on the link (~32 MB/s measured — 2.6x).
+    Every overlapped decode loop calls this at DISPATCH time: the copies
+    execute as soon as the program finishes, concurrently with the next
+    group's compute, which is the difference between a hidden and an
+    exposed fetch stage.  No-op on arrays/backends without the method."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            return
+
+
 @dataclass
 class PipelineConfig:
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
@@ -210,6 +229,7 @@ class DemodPipeline:
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
                 max_candidates=self._mc,
             )
+            start_d2h(cand)
             work = (x, cand, n_real)
             if pending is not None:
                 yield from self._resolve_batch(pending, emit, drain)
@@ -326,7 +346,7 @@ class DemodPipeline:
         ct = jnp.asarray(np.clip(self.cache.ts, 0, 2**31 - 1).astype(np.int32))
 
         def dispatch(xg, ca, ct):
-            return demod_resolve_group(
+            out = demod_resolve_group(
                 jnp.asarray(xg), ca, ct, self.cache.clock(),
                 dcfg.fix_errors, dcfg.aggressive,
                 scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
@@ -334,6 +354,10 @@ class DemodPipeline:
                 max_out_short=self._mos, max_out_long=self._mol,
                 crcok_only=crcok_only, packed=packed,
             )
+            # pipeline the eventual fetch on the link while the NEXT group
+            # computes (see start_d2h); the cache arrays stay device-resident
+            start_d2h(out[:6])
+            return out
 
         # density adaptation: consecutive groups whose peaks sit far below
         # the static shapes shrink them (quiet air stops paying dense-shaped
@@ -569,15 +593,13 @@ class DemodPipeline:
                 self.samples_in += n_real * BLOCK_SAMPLES
                 x = np.full((nb, bufs[0].shape[0]), 127, dtype=np.uint8)
                 x[:n_real] = np.stack(bufs)
-                work = (
-                    x,
-                    demod_batch(
-                        jnp.asarray(x),
-                        scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
-                        max_candidates=self._mc,
-                    ),
-                    n_real,
+                cand = demod_batch(
+                    jnp.asarray(x),
+                    scan_len=BUF_SAMPLES - FULL_LEN_SAMPLES,
+                    max_candidates=self._mc,
                 )
+                start_d2h(cand)
+                work = (x, cand, n_real)
             else:
                 work = None
             if pending is not None:

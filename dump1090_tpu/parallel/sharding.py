@@ -182,7 +182,10 @@ def make_sharded_demod(mesh: Mesh, *, shard_samples: int, max_candidates: int = 
     Candidates with stream-global positions, sharded the same way.
     scan_total clips the owned scan range when the timeline is padded to a
     multiple of the shard count."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     body = functools.partial(
         _shard_demod_body,

@@ -354,6 +354,55 @@ def test_run_device_full_field_equality(modes1_path, fix, aggressive):
     assert p_dev.stats == p_host.stats
 
 
+def test_ingest_strategies_bit_identical(modes1_path, golden_dir, monkeypatch):
+    """Both _ingest_groups strategies — whole-file device preload (regular
+    seekable files) and the reader-thread streaming overlap (the framework's
+    form of the reference's reader/decoder overlap, dump1090.c:436-527,
+    2968-2990) — must produce the identical golden raw stream, and each run
+    must actually take its intended branch."""
+    import threading
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    golden = (golden_dir / "golden_raw.txt").read_bytes()
+    spawned: list[str] = []
+    real_thread = threading.Thread
+
+    class SpyThread(real_thread):
+        def __init__(self, *a, **kw):
+            spawned.append(kw.get("name", ""))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(threading, "Thread", SpyThread)
+
+    # regular file within the cap -> preload, no iq-upload thread
+    p = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
+    with open(modes1_path, "rb") as f:
+        out = b"".join(p.stream_raw_device(f))
+    assert out == golden
+    assert "iq-upload" not in spawned
+
+    # cap forced to 0 -> streaming path on the very same file
+    monkeypatch.setenv("DUMP1090_TPU_PRELOAD_BYTES", "0")
+    p2 = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
+    with open(modes1_path, "rb") as f:
+        out2 = b"".join(p2.stream_raw_device(f))
+    assert out2 == golden
+    assert "iq-upload" in spawned
+    assert p.stats == p2.stats
+
+    # non-seekable source (no usable fileno) -> streaming path too
+    import io
+
+    spawned.clear()
+    raw = open(modes1_path, "rb").read()
+    monkeypatch.delenv("DUMP1090_TPU_PRELOAD_BYTES")
+    p3 = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
+    out3 = b"".join(p3.stream_raw_device(io.BytesIO(raw)))
+    assert out3 == golden
+    assert "iq-upload" in spawned
+
+
 def test_packed_split_interleave_matches_unpacked(modes1_path, golden_dir):
     """The packed wire format (split short/long arrays + rank-carried
     re-interleave) must reconstruct the exact emission stream of the
