@@ -68,6 +68,26 @@ def log(msg: str) -> None:
 def main() -> None:
     import os
 
+    # Wedged-tunnel watchdog: the tunneled TPU runtime can hang indefinitely
+    # on first contact (even jax.devices() — CLAUDE.md perf notes), which
+    # would leave the driver's round-end capture with neither a number nor a
+    # diagnosis.  A worst-case LEGITIMATE run (cold compile of every program
+    # 1-4 min each + all phases) finishes well inside the default; past it,
+    # die loudly instead of hanging forever.
+    import threading
+
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+
+    def _watchdog():
+        log(f"bench.py: no result after {watchdog_s:.0f} s — the TPU "
+            "tunnel is most likely wedged (a fresh-process device_put+sum "
+            "smoke test hanging confirms it); aborting instead of hanging")
+        os._exit(3)
+
+    timer = threading.Timer(watchdog_s, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -406,6 +426,7 @@ def main() -> None:
         f"demod+resolve {t_f*1e3:.2f} ms -> resolve tax {(t_f-t_d)*1e3:.2f} ms"
         f"/batch ({new_per_batch/t_f/1e6:.0f} Msamples/s e2e)")
 
+    timer.cancel()
     print(json.dumps({
         "metric": "sustained_e2e",
         "value": round(sustained / 1e6, 1),
