@@ -200,9 +200,8 @@ def _decode_captures_device(
 
     from .constants import ICAO_CACHE_LEN
     from .io.sources import iq_buffers
-    from .models.decoder import message_from_device
-    from .ops import crc as crc_ops
-    from .ops.resolve import META_LONG, demod_resolve_streams
+    from .models.decoder import messages_from_device_arrays
+    from .ops.resolve import demod_resolve_streams, streams_dispatch_shape
 
     dcfg = config or DecoderConfig()
     s_n = len(captures)
@@ -237,42 +236,65 @@ def _decode_captures_device(
             if n_live == 0:
                 break
             while True:
-                n_d, count_d, msg_d, meta_d, stats_d, ca2, ct2 = (
-                    demod_resolve_streams(
-                        jnp.asarray(xs), ca, ct, now,
-                        dcfg.fix_errors, dcfg.aggressive,
-                        scan_len=scan_len, max_candidates=shapes["mc"],
-                        max_out=shapes["mo"], crcok_only=False,
-                    )
-                )
-                start_d2h((n_d, count_d, msg_d, meta_d))
-                n_h, count_h = jax.device_get([n_d, count_d])
-                if int(n_h.max()) > shapes["mc"]:
+                # the streams kernel scalar-prefetches S x NB x mc candidate
+                # positions into SMEM; after sticky mc growth (or with many
+                # captures) one dispatch may not fit, so split the work into
+                # (s_fit, nb_fit) tiles — bit-identical because skip state
+                # resets at every buffer start (PF_NEWBUF) and the per-stream
+                # ICAO cache rows chain through ca/ct between tiles
+                mc, mo = shapes["mc"], shapes["mo"]
+                s_fit, nb_fit = streams_dispatch_shape(s_n, nb, mc)
+                ca_t, ct_t = ca, ct
+                tile_msgs = [[] for _ in range(s_n)]
+                peak_n = peak_c = 0
+                for j0 in range(0, nb, nb_fit):
+                    for k0 in range(0, s_n, s_fit):
+                        ks = min(s_fit, s_n - k0)
+                        js = min(nb_fit, nb - j0)
+                        sub = np.full(
+                            (s_fit, nb_fit, buf_bytes), 127, dtype=np.uint8
+                        )
+                        sub[:ks, :js] = xs[k0:k0 + ks, j0:j0 + js]
+                        ca_in = jnp.zeros((s_fit, ICAO_CACHE_LEN), jnp.int32)
+                        ct_in = jnp.zeros((s_fit, ICAO_CACHE_LEN), jnp.int32)
+                        ca_in = ca_in.at[:ks].set(ca_t[k0:k0 + ks])
+                        ct_in = ct_in.at[:ks].set(ct_t[k0:k0 + ks])
+                        n_d, count_d, msg_d, meta_d, stats_d, ca2, ct2 = (
+                            demod_resolve_streams(
+                                jnp.asarray(sub), ca_in, ct_in, now,
+                                dcfg.fix_errors, dcfg.aggressive,
+                                scan_len=scan_len, max_candidates=mc,
+                                max_out=mo, crcok_only=False,
+                            )
+                        )
+                        start_d2h((n_d, count_d, msg_d, meta_d))
+                        n_h, count_h = jax.device_get([n_d, count_d])
+                        peak_n = max(peak_n, int(n_h[:ks].max(initial=0)))
+                        peak_c = max(peak_c, int(count_h[:ks].max(initial=0)))
+                        if peak_n > mc or peak_c > mo:
+                            break
+                        msg_h, meta_h = jax.device_get([msg_d, meta_d])
+                        for k in range(ks):
+                            c = int(count_h[k])
+                            tile_msgs[k0 + k].extend(
+                                messages_from_device_arrays(
+                                    msg_h[k, :c], meta_h[k, :c]
+                                )
+                            )
+                        ca_t = ca_t.at[k0:k0 + ks].set(ca2[:ks])
+                        ct_t = ct_t.at[k0:k0 + ks].set(ct2[:ks])
+                    if peak_n > mc or peak_c > mo:
+                        break
+                if peak_n > mc:
                     shapes["mc"] *= 4  # sticky growth; retry from pre state
                     continue
-                if int(count_h.max()) > shapes["mo"]:
+                if peak_c > mo:
                     shapes["mo"] *= 4
                     continue
                 break
-            ca, ct = ca2, ct2
-            msg_h, meta_h = jax.device_get([msg_d, meta_d])
+            ca, ct = ca_t, ct_t
             for k, stt in enumerate(states):
-                c = int(count_h[k])
-                if c == 0:
-                    continue
-                meta_c, msg_c = meta_h[k, :c], msg_h[k, :c]
-                syn = np.empty(c, dtype=np.uint32)
-                is_long = (meta_c & META_LONG) != 0
-                if is_long.any():
-                    syn[is_long] = crc_ops.batch_syndromes(msg_c[is_long], 112)
-                if (~is_long).any():
-                    syn[~is_long] = crc_ops.batch_syndromes(msg_c[~is_long], 56)
-                for i in range(c):
-                    stt.messages.append(
-                        message_from_device(
-                            msg_c[i], int(meta_c[i]), int(syn[i])
-                        )
-                    )
+                stt.messages.extend(tile_msgs[k])
     finally:
         for s, c in zip(streams, captures):
             if s is not c:
@@ -505,9 +527,8 @@ def _resolve_group_on_device(get_fn, iq_main, tail, mc_box, dp_n, sp_n,
     import jax
     import jax.numpy as jnp
 
-    from .models.decoder import message_from_device
-    from .ops import crc as crc_ops
-    from .ops.resolve import META_LONG, resolve_candidate_segments
+    from .models.decoder import messages_from_device_arrays
+    from .ops.resolve import resolve_candidate_segments
 
     while True:
         cand = get_fn()(iq_main, tail)
@@ -540,22 +561,18 @@ def _resolve_group_on_device(get_fn, iq_main, tail, mc_box, dp_n, sp_n,
             continue
         break
     msg_h, meta_h, stats_h = jax.device_get([msg, meta, stats_d])
-    for name, d in zip(
-        ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
-         "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
-        stats_h.tolist(),
-    ):
-        setattr(st, name, getattr(st, name) + d)
     c = int(count_h)
-    if c:
-        meta_c, msg_c = meta_h[:c], msg_h[:c]
-        syn = np.empty(c, dtype=np.uint32)
-        is_long = (meta_c & META_LONG) != 0
-        if is_long.any():
-            syn[is_long] = crc_ops.batch_syndromes(msg_c[is_long], 112)
-        if (~is_long).any():
-            syn[~is_long] = crc_ops.batch_syndromes(msg_c[~is_long], 56)
-        with lock:
-            for i in range(c):
-                sink(message_from_device(msg_c[i], int(meta_c[i]), int(syn[i])))
+    mms = messages_from_device_arrays(msg_h[:c], meta_h[:c])
+    # stats and emissions update under ONE lock hold, like the host path's
+    # `with lock: resolver(...)` — a concurrent stats reader (TUI/--stats
+    # printer) must never see this group's counters half-applied
+    with lock:
+        for name, d in zip(
+            ("valid_preamble", "out_of_phase", "demodulated", "goodcrc",
+             "badcrc", "fixed", "single_bit_fix", "two_bits_fix"),
+            stats_h.tolist(),
+        ):
+            setattr(st, name, getattr(st, name) + d)
+        for mm in mms:
+            sink(mm)
     return ca2, ct2

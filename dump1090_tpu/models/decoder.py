@@ -337,6 +337,32 @@ def message_from_device(raw, meta: int, syn: int) -> ModesMessage:
     return mm
 
 
+def messages_from_device_arrays(msg_rows, meta_rows) -> list[ModesMessage]:
+    """Rebuild ModesMessages for a fetched batch of device emissions:
+    vectorized syndromes of the post-fix frame bytes (split by frame
+    length), then one message_from_device per row, in emission order.
+    The single reconstruction path for every device-resolve consumer
+    (pipeline.run_device, api.decode_captures, the sharded group resolve)."""
+    from ..ops import crc as crc_ops
+    from ..ops.resolve import META_LONG
+
+    meta_rows = np.asarray(meta_rows)
+    msg_rows = np.asarray(msg_rows)
+    c = meta_rows.shape[0]
+    if c == 0:
+        return []
+    syn = np.empty(c, dtype=np.uint32)
+    is_long = (meta_rows & META_LONG) != 0
+    if is_long.any():
+        syn[is_long] = crc_ops.batch_syndromes(msg_rows[is_long], 112)
+    if (~is_long).any():
+        syn[~is_long] = crc_ops.batch_syndromes(msg_rows[~is_long], 56)
+    return [
+        message_from_device(msg_rows[i], int(meta_rows[i]), int(syn[i]))
+        for i in range(c)
+    ]
+
+
 def decode_hex_message(
     line: str,
     cache: IcaoCache,

@@ -276,26 +276,17 @@ class DemodPipeline:
         on the host is stateless (models/decoder.py message_from_device):
         all cache/CRC decisions arrive in the per-message meta word, and the
         syndrome of the emitted bytes supplies crc/IID/AP-address."""
-        from ..ops import crc as crc_ops
-        from ..ops.resolve import META_LONG
-        from .decoder import message_from_device
+        from .decoder import messages_from_device_arrays
 
         for meta_h, msg_h in self._device_batches(
             stream, crcok_only=False, packed=False, buffers=buffers
         ):
-            c = meta_h.shape[0]
-            if c == 0:
+            mms = messages_from_device_arrays(msg_h, meta_h)
+            if not mms:
                 continue
-            # syndromes of the emitted (post-fix) frames, vectorized
-            syn = np.empty(c, dtype=np.uint32)
-            is_long = (meta_h & META_LONG) != 0
-            if is_long.any():
-                syn[is_long] = crc_ops.batch_syndromes(msg_h[is_long], 112)
-            if (~is_long).any():
-                syn[~is_long] = crc_ops.batch_syndromes(msg_h[~is_long], 56)
             with self._lock:
-                for i in range(c):
-                    emit(message_from_device(msg_h[i], int(meta_h[i]), int(syn[i])))
+                for mm in mms:
+                    emit(mm)
 
     def _device_batches(self, stream: BinaryIO | None, *, crcok_only: bool,
                         packed: bool, buffers=None):
@@ -329,7 +320,7 @@ class DemodPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.resolve import demod_resolve_group
+        from ..ops.resolve import clamp_packed_out, demod_resolve_group
 
         nb = max(self.cfg.batch_buffers, 1)
         ng = max(self.cfg.dispatch_groups, 1)
@@ -339,8 +330,9 @@ class DemodPipeline:
             # sized so the densest real fixture (modes1: ~39 short / ~65
             # long emissions per buffer at mc=256) fits without a first-
             # group overflow retry; quiet air shrinks via adapt_down
-            self._mos = max(2048, nb * self._mc // 4)
-            self._mol = max(2048, nb * self._mc // 3)
+            self._mos, self._mol = clamp_packed_out(
+                max(2048, nb * self._mc // 4), max(2048, nb * self._mc // 3)
+            )
         dcfg = self.cfg.decoder
         ca = jnp.asarray(self.cache.addr.astype(np.int64).astype(np.int32))
         ct = jnp.asarray(np.clip(self.cache.ts, 0, 2**31 - 1).astype(np.int32))
@@ -408,6 +400,13 @@ class DemodPipeline:
                     self._mos *= 4
                 while self._mol < cl_peak:
                     self._mol *= 4
+                if packed:
+                    # 16-bit rank field: keep mos+mol under the wire
+                    # format's per-batch emission cap (raises if the exact
+                    # peaks themselves can't fit)
+                    self._mos, self._mol = clamp_packed_out(
+                        self._mos, self._mol, cs_peak, cl_peak
+                    )
                 while self._mo < ct_peak:
                     self._mo *= 4
                 ca0, ct0 = state_before
@@ -551,10 +550,16 @@ class DemodPipeline:
                     if item is None:
                         return
             except BaseException as e:  # surfaced on the consumer side
-                try:
-                    q.put(e, timeout=5)
-                except queue.Full:
-                    pass
+                # keep trying until the consumer drains the queue (it always
+                # does) or tears the generator down: a timed-out put here
+                # would silently drop the error AND the None sentinel,
+                # leaving the consumer blocked in q.get() forever
+                while not stop.is_set():
+                    try:
+                        q.put(e, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=reader, name="iq-upload", daemon=True)
         t.start()

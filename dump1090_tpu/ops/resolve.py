@@ -135,6 +135,54 @@ SKIP_EXTRA_LONG = (LONG_MSG_BITS - SHORT_MSG_BITS) * 2  # +112 for long frames
 
 RESOLVE_CHUNK = 2048  # target candidates per Pallas grid step
 
+# packed short rows carry their batch emission rank in TWO uint8s, so one
+# batch's emission count must fit 16 bits or host re-interleave would read
+# aliased ranks; demod_resolve_group enforces this at trace time and
+# clamp_packed_out keeps sticky growth under it
+PACKED_RANK_LIMIT = 1 << 16
+
+
+def clamp_packed_out(mos: int, mol: int, short_need: int = 0,
+                     long_need: int = 0) -> tuple[int, int]:
+    """Shrink packed emission allocations until mos + mol fits the 16-bit
+    rank field, never below the exact per-kind needs (the overflow-retry
+    counts).  Raises if the needs themselves exceed the wire format — one
+    batch emitting >65536 messages needs fewer buffers per batch, not a
+    wider allocation."""
+    if short_need + long_need > PACKED_RANK_LIMIT:
+        raise ValueError(
+            f"one batch emitted {short_need} short + {long_need} long "
+            f"messages; the packed wire format's 16-bit emission rank caps "
+            f"a batch at {PACKED_RANK_LIMIT} — reduce batch_buffers per "
+            f"dispatch"
+        )
+    over = mos + mol - PACKED_RANK_LIMIT
+    if over > 0:
+        d = min(over, mol - long_need)
+        mol -= d
+        over -= d
+    if over > 0:
+        mos -= min(over, mos - short_need)
+    return mos, mol
+
+# the window-gather kernel scalar-prefetches every candidate position into
+# SMEM; total buffers per dispatch x max_candidates x 4 B must stay under
+# this (SMEM is ~1 MB; leave headroom for the kernel's own scalars)
+SMEM_PREFETCH_BUDGET = (1 << 20) - (64 << 10)
+
+
+def streams_dispatch_shape(s_n: int, nb: int, mc: int) -> tuple[int, int]:
+    """Largest (streams, buffers-per-stream) sub-dispatch shape that fits
+    demod_resolve_streams' SMEM prefetch budget.  Callers with more
+    streams/buffers than fit one dispatch (api.decode_captures after sticky
+    mc growth, or very large capture sets) split their work into
+    (s_fit, nb_fit) tiles instead of crashing on the budget gate."""
+    mc = normalize_max_candidates(mc)
+    per_stream = nb * mc * 4
+    if per_stream <= SMEM_PREFETCH_BUDGET:
+        return min(s_n, SMEM_PREFETCH_BUDGET // per_stream), nb
+    return 1, max(1, SMEM_PREFETCH_BUDGET // (mc * 4))
+
 
 @functools.cache
 def _bit_matrices() -> tuple[np.ndarray, np.ndarray]:
@@ -421,6 +469,19 @@ def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now,
         (pf, w1, w2), unroll=4
     )
     return words, ca, ct, skip_end
+
+
+def normalize_max_candidates(mc: int) -> int:
+    """Round mc up to a kernel-valid candidate width.  Any value up to
+    RESOLVE_CHUNK packs whole buffers per grid step; beyond that the slot
+    rows must tile exactly into RESOLVE_CHUNK-slot steps.  Every device
+    entry point routes through this so arbitrary user max_candidates and
+    their sticky-growth/adapt-down derivatives (e.g. 300 -> 4800 after two
+    x4 growths, or 20480//4 = 5120 on shrink) can't crash _chunk_geometry
+    mid-decode."""
+    if mc > RESOLVE_CHUNK and mc % RESOLVE_CHUNK:
+        mc += RESOLVE_CHUNK - (mc % RESOLVE_CHUNK)
+    return mc
 
 
 def _chunk_geometry(mc: int, n_buffers: int) -> tuple[int, int, int]:
@@ -730,8 +791,9 @@ def demod_resolve_streams(
             f"scan_len {scan_len} exceeds the {PF_POS_MASK} packed-position "
             f"limit of the resolver word layout"
         )
+    max_candidates = normalize_max_candidates(max_candidates)
     s_n, nb, nbytes = xs.shape
-    if pallas and s_n * nb * max_candidates * 4 > (1 << 20) - (64 << 10):
+    if pallas and s_n * nb * max_candidates * 4 > SMEM_PREFETCH_BUDGET:
         # the window-gather kernel scalar-prefetches every candidate
         # position into SMEM (~1 MB); keep streams x batch under that
         raise ValueError(
@@ -1016,6 +1078,14 @@ def demod_resolve_group(
         raise ValueError(
             f"scan_len {scan_len} exceeds the {PF_POS_MASK} packed-position "
             f"limit of the resolver word layout"
+        )
+    max_candidates = normalize_max_candidates(max_candidates)
+    if packed and max_out_short + max_out_long > PACKED_RANK_LIMIT:
+        raise ValueError(
+            f"max_out_short + max_out_long = "
+            f"{max_out_short + max_out_long} exceeds the "
+            f"{PACKED_RANK_LIMIT}-message packed rank field; use "
+            f"clamp_packed_out on the allocations"
         )
     m_g, n_g, pos_g = _group_front(
         xg, scan_len=scan_len, max_candidates=max_candidates

@@ -80,3 +80,38 @@ def test_decode_captures_device_shares_dispatches(modes1_path, monkeypatch):
     # buffers/dispatch -> exactly ONE shared dispatch for all 3 streams
     assert calls["n"] == 1
     assert sum(len(s) for s in dev) > 0
+
+
+def test_decode_captures_device_tiles_under_smem_budget(modes1_path, monkeypatch):
+    """When S x NB x mc positions no longer fit the kernel's SMEM prefetch
+    budget (sticky mc growth, many captures), the device strategy splits
+    into (streams, buffers) tiles instead of crashing — bit-identical
+    because skip resets per buffer and cache rows chain between tiles."""
+    import dataclasses
+
+    import dump1090_tpu.ops.resolve as R
+
+    calls = {"n": 0}
+    real = R.demod_resolve_streams
+
+    def counting(xs, *a, **k):
+        calls["n"] += 1
+        # every tile must respect the budget the shape helper promised
+        s, nb = xs.shape[:2]
+        assert s * nb * k["max_candidates"] * 4 <= R.SMEM_PREFETCH_BUDGET
+        return real(xs, *a, **k)
+
+    monkeypatch.setattr(R, "demod_resolve_streams", counting)
+    # budget below one stream's nb*mc*4 = 4*256*4 = 16 KiB forces a split
+    # down to (1 stream, 2 buffers) per dispatch
+    monkeypatch.setattr(R, "SMEM_PREFETCH_BUDGET", 3 * 256 * 4)
+
+    data = modes1_path.read_bytes()
+    caps = [data, data[:300_000]]
+    dev = api.decode_captures(caps, device_resolve=True)
+    host = api.decode_captures(caps, device_resolve=False)
+    assert calls["n"] > 1  # it really tiled
+    assert [len(s) for s in dev] == [len(s) for s in host]
+    for sd, sh in zip(dev, host):
+        for a, b in zip(sd, sh):
+            assert dataclasses.asdict(a) == dataclasses.asdict(b)

@@ -509,3 +509,54 @@ def test_grouped_dispatch_matches_ungrouped(modes1_path, golden_dir):
     for a, b in zip(grouped, single):
         assert dataclasses.asdict(a) == dataclasses.asdict(b)
     assert pg2.stats == p1.stats
+
+
+def test_normalize_max_candidates():
+    """mc values past RESOLVE_CHUNK must tile exactly into chunk-sized grid
+    steps; arbitrary user values / sticky-growth products (300*4*4=4800) are
+    rounded up instead of crashing _chunk_geometry mid-decode."""
+    from dump1090_tpu.ops.resolve import (
+        RESOLVE_CHUNK,
+        normalize_max_candidates,
+    )
+
+    for mc in (1, 64, 300, RESOLVE_CHUNK):
+        assert normalize_max_candidates(mc) == mc
+    assert normalize_max_candidates(4800) == 3 * RESOLVE_CHUNK
+    assert normalize_max_candidates(5120) == 3 * RESOLVE_CHUNK
+    assert normalize_max_candidates(4 * RESOLVE_CHUNK) == 4 * RESOLVE_CHUNK
+
+
+def test_clamp_packed_out():
+    """The packed short-row rank is 16-bit: allocations are shaved (never
+    below the exact overflow counts) so one batch can't emit aliased ranks,
+    and impossible exact needs raise instead of truncating."""
+    from dump1090_tpu.ops.resolve import PACKED_RANK_LIMIT, clamp_packed_out
+
+    assert clamp_packed_out(2048, 2048) == (2048, 2048)
+    mos, mol = clamp_packed_out(40_000, 50_000)
+    assert mos + mol == PACKED_RANK_LIMIT and mos == 40_000
+    mos, mol = clamp_packed_out(40_000, 50_000, 30_000, 30_000)
+    assert mos + mol <= PACKED_RANK_LIMIT
+    assert mos >= 30_000 and mol >= 30_000
+    with pytest.raises(ValueError):
+        clamp_packed_out(70_000, 70_000, 40_000, 30_000)
+
+
+def test_packed_rank_cap_enforced_at_entry(modes1_path):
+    """demod_resolve_group(packed=True) refuses allocations whose combined
+    width exceeds the 16-bit rank field (silent wrap would corrupt the host
+    re-interleave)."""
+    import jax.numpy as jnp
+
+    from dump1090_tpu.ops.resolve import demod_resolve_group
+
+    bufs = _modes1_buffers(modes1_path)[:1]
+    ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    with pytest.raises(ValueError, match="rank"):
+        demod_resolve_group(
+            jnp.asarray(bufs[None]), ca, ct, NOW, True, False,
+            scan_len=SCAN, max_candidates=64,
+            max_out_short=40_000, max_out_long=30_000, packed=True,
+        )
