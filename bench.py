@@ -144,16 +144,20 @@ def main() -> None:
         n_lines = 0
         t_first = None
         samples_at_first = 0
-        with open(cold_path, "rb") as f:
-            for _c, _cl, _sh, _lg in p._device_batches(
-                f, crcok_only=True, packed=True
-            ):
-                if t_first is None:
-                    t_first = time.perf_counter()
-                    samples_at_first = p.samples_in
-                n_lines += _c
-        t_end = time.perf_counter()
-        os.unlink(cold_path)
+        try:
+            with open(cold_path, "rb") as f:
+                for _c, _cl, _sh, _lg in p._device_batches(
+                    f, crcok_only=True, packed=True
+                ):
+                    if t_first is None:
+                        t_first = time.perf_counter()
+                        samples_at_first = p.samples_in
+                    n_lines += _c
+            t_end = time.perf_counter()
+        finally:
+            # the ~857 MB scratch file must not outlive a failed run
+            # (repeated attempts against a flaky tunnel would fill /tmp)
+            os.unlink(cold_path)
         total_samples = reps0 * len(raw0) // 2
         steady = (total_samples - samples_at_first) / max(t_end - t_first, 1e-9)
         log(f"cold-file (product pipeline, {reps0 * len(raw0) / 1e6:.0f} MB "

@@ -213,7 +213,6 @@ def _decode_captures_device(
     streams = [_as_stream(c) for c in captures]
     iters = [iq_buffers(s) for s in streams]
     states = [_StreamState() for _ in captures]
-    now = int(__import__("time").time())
 
     ca = jnp.zeros((s_n, ICAO_CACHE_LEN), jnp.int32)
     ct = jnp.zeros((s_n, ICAO_CACHE_LEN), jnp.int32)
@@ -235,6 +234,10 @@ def _decode_captures_device(
                     stt.done = True
             if n_live == 0:
                 break
+            # per-round clock (one shared dispatch round ~= one pipeline
+            # dispatch group): ICAO-cache TTLs age during long decodes the
+            # same way decode_capture's per-group cache.clock() does
+            now = int(__import__("time").time())
             while True:
                 # the streams kernel scalar-prefetches S x NB x mc candidate
                 # positions into SMEM; after sticky mc growth (or with many
@@ -286,6 +289,11 @@ def _decode_captures_device(
                     if peak_n > mc or peak_c > mo:
                         break
                 if peak_n > mc:
+                    if mc >= scan_len // 2 + 1:
+                        raise OverflowError(
+                            f"candidate overflow: a buffer reported "
+                            f"{peak_n} preambles > max_candidates {mc}"
+                        )
                     shapes["mc"] *= 4  # sticky growth; retry from pre state
                     continue
                 if peak_c > mo:
@@ -415,7 +423,11 @@ def decode_capture_sharded(
 
         device_resolve = use_device_resolve()
 
-    mc_box = {"mc": max_candidates, "mo": 4096}
+    from .ops.resolve import normalize_max_candidates
+
+    # chunk-valid from the start: the device resolver's kernel geometry
+    # requires it, and the sticky-growth sites below preserve it
+    mc_box = {"mc": normalize_max_candidates(max_candidates), "mo": 4096}
     fns = {}
 
     def get_fn():
@@ -483,7 +495,7 @@ def decode_capture_sharded(
             )
             if device_resolve:
                 ca, ct = _resolve_group_on_device(
-                    get_fn, iq_main, tail, mc_box, dp_n, sp_n, n_real,
+                    get_fn, iq_main, tail, mc_box, dp_n, sp_n,
                     ca, ct, cache, dcfg, st, sink, lock,
                 )
                 continue
@@ -497,7 +509,10 @@ def decode_capture_sharded(
                 except OverflowError:
                     if mc_box["mc"] >= SCAN_POSITIONS // 2 + 1:
                         raise
-                    mc_box["mc"] *= 4  # sticky growth, like the pipeline
+                    # sticky growth, like the pipeline (chunk-valid)
+                    mc_box["mc"] = normalize_max_candidates(
+                        mc_box["mc"] * 4
+                    )
             for r, (n, bc) in enumerate(rows):
                 if r >= n_real:
                     break
@@ -517,13 +532,15 @@ def decode_capture_sharded(
 
 
 def _resolve_group_on_device(get_fn, iq_main, tail, mc_box, dp_n, sp_n,
-                             n_real, ca, ct, cache, dcfg, st, sink, lock):
+                             ca, ct, cache, dcfg, st, sink, lock):
     """One dp-group of the sharded decode with the sequential replay on
     device: sharded demod -> per-shard candidate segments ->
     ops.resolve.resolve_candidate_segments (rows = reference buffers; skip
     resets per row, ICAO cache chains across everything) -> emitted
-    messages decoded statelessly on the host.  Exact-count overflow retries
-    re-run from the pre-group cache state."""
+    messages decoded statelessly on the host.  Padding rows beyond the real
+    buffer count are 127-silence and contribute zero candidates, so no
+    per-row trimming is needed.  Exact-count overflow retries re-run from
+    the pre-group cache state."""
     import jax
     import jax.numpy as jnp
 
@@ -554,7 +571,9 @@ def _resolve_group_on_device(get_fn, iq_main, tail, mc_box, dp_n, sp_n,
                     f"candidate overflow: shard reported {int(n_h.max())} "
                     f"preambles > max_candidates {mc}"
                 )
-            mc_box["mc"] *= 4
+            from .ops.resolve import normalize_max_candidates
+
+            mc_box["mc"] = normalize_max_candidates(mc_box["mc"] * 4)
             continue
         if int(count_h) > mc_box["mo"]:
             mc_box["mo"] *= 4

@@ -320,10 +320,16 @@ class DemodPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.resolve import clamp_packed_out, demod_resolve_group
+        from ..ops.resolve import (
+            _use_pallas_resolve,
+            clamp_packed_out,
+            demod_resolve_group,
+            max_candidates_cap,
+        )
 
         nb = max(self.cfg.batch_buffers, 1)
         ng = max(self.cfg.dispatch_groups, 1)
+        mc_cap = max_candidates_cap(nb)
         if self._mo is None:
             self._mo = max(4096, nb * self._mc // 2)
         if self._mos is None:
@@ -373,7 +379,11 @@ class DemodPipeline:
 
         def finish(work):
             """Fetch one group; returns (per-batch payload list, redo)."""
-            xg, g_real, state_before, out = work
+            xg, g_real, state_before, out, disp = work
+            # validate against the shapes this group was DISPATCHED with —
+            # adapt_down may have shrunk self._* while it was in flight,
+            # and a group that fit its own allocation must not be replayed
+            mc_d, mos_d, mol_d, mo_d = disp
             redo = None
             while True:
                 if packed:
@@ -383,19 +393,32 @@ class DemodPipeline:
                     cs_peak = int((count_h - clong_h).max(initial=0))
                     cl_peak = int(clong_h.max(initial=0))
                     ct_peak = 0
-                    ok = (cs_peak <= self._mos and cl_peak <= self._mol)
+                    ok = (cs_peak <= mos_d and cl_peak <= mol_d)
                 else:
                     host = jax.device_get(list(out[:5]))
                     n_h, count_h, msg_h, meta_h, stats_h = host
                     cs_peak = cl_peak = 0
                     ct_peak = int(count_h.max(initial=0))
-                    ok = ct_peak <= self._mo
-                if int(n_h.max(initial=0)) <= self._mc and ok:
+                    ok = ct_peak <= mo_d
+                if int(n_h.max(initial=0)) <= mc_d and ok:
                     break
                 # grow the overflowing shape(s) and replay from the
                 # pre-group state (exact counts: loud, never silent)
-                while self._mc < int(n_h.max(initial=0)):
+                n_peak = int(n_h.max(initial=0))
+                while self._mc < n_peak:
                     self._mc *= 4
+                if _use_pallas_resolve() and self._mc > mc_cap:
+                    # growing past the window-gather SMEM budget would fail
+                    # Pallas lowering mid-decode; clamp, or raise with the
+                    # actual remedy if the exact count can't fit at all
+                    if n_peak > mc_cap:
+                        raise RuntimeError(
+                            f"a buffer reported {n_peak} preamble candidates "
+                            f"but the window-gather SMEM budget caps "
+                            f"max_candidates at {mc_cap} for {nb}-buffer "
+                            f"batches — lower --tpu-batch"
+                        )
+                    self._mc = mc_cap
                 while self._mos < cs_peak:
                     self._mos *= 4
                 while self._mol < cl_peak:
@@ -411,6 +434,9 @@ class DemodPipeline:
                     self._mo *= 4
                 ca0, ct0 = state_before
                 out = dispatch(xg, ca0, ct0)
+                mc_d, mos_d, mol_d, mo_d = (
+                    self._mc, self._mos, self._mol, self._mo
+                )
                 redo = (out[-2], out[-1])
             adapt_down(n_h, cs_peak, cl_peak, ct_peak)
             for name, d in zip(
@@ -436,7 +462,10 @@ class DemodPipeline:
             it = iq_buffers(
                 stream, loop=self.cfg.loop, throttle_s=self.cfg.throttle_s
             )
-        pending = None  # (xg, g_real, state_before, out)
+        def shapes_now():
+            return (self._mc, self._mos, self._mol, self._mo)
+
+        pending = None  # (xg, g_real, state_before, out, dispatch_shapes)
         groups = self._ingest_groups(stream, it, ng, nb)
         try:
             while True:
@@ -444,7 +473,8 @@ class DemodPipeline:
                 if item is not None:
                     xg, g_real, n_bufs = item
                     self.samples_in += n_bufs * BLOCK_SAMPLES
-                    work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct))
+                    work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct),
+                            shapes_now())
                     ca, ct = work[3][-2], work[3][-1]
                 else:
                     work = None
@@ -453,9 +483,10 @@ class DemodPipeline:
                     yield from payloads
                     if redo:  # shapes grew: replay the in-flight group too
                         if work is not None:
-                            xg, g_real, _, _ = work
+                            xg, g_real = work[0], work[1]
                             ca, ct = redo
-                            work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct))
+                            work = (xg, g_real, (ca, ct),
+                                    dispatch(xg, ca, ct), shapes_now())
                             ca, ct = work[3][-2], work[3][-1]
                         else:
                             ca, ct = redo

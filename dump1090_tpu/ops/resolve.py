@@ -156,13 +156,24 @@ def clamp_packed_out(mos: int, mol: int, short_need: int = 0,
             f"a batch at {PACKED_RANK_LIMIT} — reduce batch_buffers per "
             f"dispatch"
         )
+    # never shave an allocation to zero: the pipeline's sticky growth
+    # multiplies by 4, and 0*4 == 0 would loop forever on the next batch
+    # that emits the other frame kind
+    short_floor = max(short_need, 64)
+    long_floor = max(long_need, 64)
+    if short_floor + long_floor > PACKED_RANK_LIMIT:
+        raise ValueError(
+            f"packed emission needs {short_need}+{long_need} cannot fit the "
+            f"{PACKED_RANK_LIMIT}-message rank field with nonzero "
+            f"allocations for both kinds — reduce batch_buffers per dispatch"
+        )
     over = mos + mol - PACKED_RANK_LIMIT
     if over > 0:
-        d = min(over, mol - long_need)
+        d = min(over, mol - long_floor)
         mol -= d
         over -= d
     if over > 0:
-        mos -= min(over, mos - short_need)
+        mos -= min(over, mos - short_floor)
     return mos, mol
 
 # the window-gather kernel scalar-prefetches every candidate position into
@@ -181,7 +192,27 @@ def streams_dispatch_shape(s_n: int, nb: int, mc: int) -> tuple[int, int]:
     per_stream = nb * mc * 4
     if per_stream <= SMEM_PREFETCH_BUDGET:
         return min(s_n, SMEM_PREFETCH_BUDGET // per_stream), nb
-    return 1, max(1, SMEM_PREFETCH_BUDGET // (mc * 4))
+    nb_fit = SMEM_PREFETCH_BUDGET // (mc * 4)
+    if nb_fit < 1:
+        raise OverflowError(
+            f"max_candidates {mc} alone exceeds the single-buffer SMEM "
+            f"prefetch budget ({SMEM_PREFETCH_BUDGET} B) — candidate "
+            f"density beyond the resolvable geometry"
+        )
+    return 1, nb_fit
+
+
+def max_candidates_cap(n_buffers: int) -> int:
+    """Largest kernel-valid max_candidates whose window-gather scalar
+    prefetch (n_buffers x mc x 4 B positions per batch; the group program
+    demodulates batch-by-batch under lax.scan for exactly this reason)
+    fits the SMEM budget.  The pipeline clamps sticky growth here and
+    raises an actionable error when a buffer's real candidate count can't
+    fit — a mid-decode Mosaic lowering failure is never the answer."""
+    cap = SMEM_PREFETCH_BUDGET // (4 * n_buffers)
+    if cap > RESOLVE_CHUNK:
+        cap -= cap % RESOLVE_CHUNK
+    return cap
 
 
 @functools.cache
@@ -1080,6 +1111,13 @@ def demod_resolve_group(
             f"limit of the resolver word layout"
         )
     max_candidates = normalize_max_candidates(max_candidates)
+    if pallas and xg.shape[1] * max_candidates * 4 > SMEM_PREFETCH_BUDGET:
+        raise ValueError(
+            f"batch_buffers {xg.shape[1]} x max_candidates {max_candidates} "
+            f"positions exceed the window-gather SMEM prefetch budget "
+            f"({SMEM_PREFETCH_BUDGET} B) — lower batch_buffers (--tpu-batch) "
+            f"or max_candidates (see max_candidates_cap)"
+        )
     if packed and max_out_short + max_out_long > PACKED_RANK_LIMIT:
         raise ValueError(
             f"max_out_short + max_out_long = "

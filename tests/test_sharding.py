@@ -300,3 +300,26 @@ def test_decode_capture_sharded_device_resolve_overflow_retry(modes1_path):
     )
     assert [(m.msg, m.crcok) for m in dev] == [(m.msg, m.crcok) for m in host]
     assert st_d == st_h
+
+
+@needs_8
+def test_decode_capture_sharded_nonmultiple_max_candidates(modes1_path):
+    """A user max_candidates that is neither <= RESOLVE_CHUNK nor a chunk
+    multiple (2500) must be normalized at entry so the device-resolve
+    kernel geometry stays valid (growth products like 300->4800 are
+    likewise rounded at the sticky-growth sites)."""
+    from dump1090_tpu.api import decode_capture_sharded
+    from dump1090_tpu.models.decoder import DecoderStats
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    data = Path(str(modes1_path)).read_bytes()[: 2 * 262144]
+    st_d = DecoderStats()
+    dev = decode_capture_sharded(
+        data, mesh=mesh, stats=st_d, device_resolve=True, max_candidates=2500
+    )
+    st_h = DecoderStats()
+    host = decode_capture_sharded(
+        data, mesh=mesh, stats=st_h, device_resolve=False, max_candidates=256
+    )
+    assert [(m.msg, m.crcok) for m in dev] == [(m.msg, m.crcok) for m in host]
+    assert st_d == st_h
