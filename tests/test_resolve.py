@@ -560,3 +560,38 @@ def test_packed_rank_cap_enforced_at_entry(modes1_path):
             scan_len=SCAN, max_candidates=64,
             max_out_short=40_000, max_out_long=30_000, packed=True,
         )
+
+
+def test_group_smem_budget_guard_and_cap():
+    """The group path refuses Pallas dispatch shapes whose window-gather
+    prefetch exceeds SMEM (a trace-time ValueError beats a mid-decode
+    Mosaic failure), and max_candidates_cap names the largest valid mc for
+    a batch size (chunk-valid above RESOLVE_CHUNK)."""
+    import jax.numpy as jnp
+
+    from dump1090_tpu.ops.resolve import (
+        RESOLVE_CHUNK,
+        SMEM_PREFETCH_BUDGET,
+        demod_resolve_group,
+        max_candidates_cap,
+        streams_dispatch_shape,
+    )
+
+    cap64 = max_candidates_cap(64)
+    assert 64 * cap64 * 4 <= SMEM_PREFETCH_BUDGET
+    assert cap64 <= RESOLVE_CHUNK or cap64 % RESOLVE_CHUNK == 0
+    assert max_candidates_cap(1) >= RESOLVE_CHUNK
+
+    ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    xg = jnp.zeros((1, 64, 16), jnp.uint8)  # guard fires before any demod
+    with pytest.raises(ValueError, match="SMEM"):
+        demod_resolve_group(
+            xg, ca, ct, NOW, True, False,
+            scan_len=SCAN, max_candidates=4096, pallas=True,
+        )
+
+    # the streams tiling fallback raises loudly when even a single buffer
+    # cannot fit, instead of silently violating the budget
+    with pytest.raises(OverflowError):
+        streams_dispatch_shape(1, 1, SMEM_PREFETCH_BUDGET)
