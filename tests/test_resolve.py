@@ -595,3 +595,47 @@ def test_group_smem_budget_guard_and_cap():
     # cannot fit, instead of silently violating the budget
     with pytest.raises(OverflowError):
         streams_dispatch_shape(1, 1, SMEM_PREFETCH_BUDGET)
+
+
+def test_adapt_down_does_not_replay_inflight_group(modes1_path):
+    """Quiet air shrinks the dispatch shapes while the next (denser) group
+    is already in flight with the LARGER shapes; overflow validation must
+    compare against the shapes that group was dispatched with — a group
+    that fit its own allocation is never replayed."""
+    import jax
+
+    import dump1090_tpu.ops.resolve as R
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    bufs = _modes1_buffers(modes1_path)
+    quiet = np.full_like(bufs[0], 127)
+    seen = {"calls": 0, "n_peak": 0}
+    real = R.demod_resolve_group
+
+    def counting(xg, *a, **k):
+        seen["calls"] += 1
+        out = real(xg, *a, **k)
+        seen["n_peak"] = max(seen["n_peak"], int(jax.device_get(out[0]).max()))
+        return out
+
+    # dispatch order with groups of one buffer: q1 / q2 f(q1) / q3 f(q2) /
+    # m1 f(q3): the third quiet finish shrinks mc 256->64 AFTER the dense
+    # buffer (>64 candidates) was dispatched at 256
+    import unittest.mock as mock
+
+    with mock.patch.object(R, "demod_resolve_group", counting):
+        p = DemodPipeline(
+            PipelineConfig(batch_buffers=1, dispatch_groups=1),
+            clock=lambda: NOW,
+        )
+        got = []
+        p.run_device(None, got.append, buffers=[quiet, quiet, quiet, bufs[0]])
+    assert seen["n_peak"] > 64  # the dense group really exceeded shrunk mc
+    assert seen["calls"] == 4  # one dispatch per group, no spurious replay
+
+    p1 = DemodPipeline(
+        PipelineConfig(batch_buffers=1, dispatch_groups=1), clock=lambda: NOW
+    )
+    solo = []
+    p1.run_device(None, solo.append, buffers=[bufs[0]])
+    assert [(m.msg, m.crcok) for m in got] == [(m.msg, m.crcok) for m in solo]
