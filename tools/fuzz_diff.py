@@ -151,7 +151,19 @@ def main() -> None:
                     choices=["raw", "nofix", "aggressive", "verbose",
                              "device", "device-nofix", "device-aggressive",
                              "device-verbose", "sharded", "sharded-device"])
+    ap.add_argument("--backend", default="cpu",
+                    help="JAX platform (default cpu: differential fuzzing "
+                    "is a correctness tool, and a direct run would "
+                    "otherwise grab the TPU — which hangs the whole sweep "
+                    "when the tunnel is wedged)")
     args = ap.parse_args()
+
+    if args.backend != "auto":
+        # must beat the axon sitecustomize, which registers the TPU plugin
+        # programmatically and wins over the JAX_PLATFORMS env var
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
 
     rng = np.random.default_rng(args.seed)
     fails = 0
