@@ -82,6 +82,17 @@ def main() -> None:
         log(f"bench.py: no result after {watchdog_s:.0f} s — the TPU "
             "tunnel is most likely wedged (a fresh-process device_put+sum "
             "smoke test hanging confirms it); aborting instead of hanging")
+        # still emit the one JSON line the capture expects, with an explicit
+        # error: value 0 + diagnosis reads as "harness down", not a silent
+        # perf regression or an empty record
+        import json
+
+        print(json.dumps({
+            "metric": "sustained_e2e", "value": 0,
+            "unit": "Msamples/s/chip", "vs_baseline": 0,
+            "error": "tpu tunnel wedged: no device contact before "
+                     f"{watchdog_s:.0f} s watchdog",
+        }), flush=True)
         os._exit(3)
 
     timer = threading.Timer(watchdog_s, _watchdog)
