@@ -202,3 +202,20 @@ def test_tpu_backend_flag_pins_platform(monkeypatch):
         jax.config.update("jax_platforms", prev_cfg)
         if prev_env is not None:
             os.environ["JAX_PLATFORMS"] = prev_env
+
+
+def test_onlyaddr_and_stats_via_device_resolver(modes1_path, golden_dir):
+    """--onlyaddr and --stats driven by the ON-DEVICE resolver must match
+    the reference goldens like the host path does (completes the CLI mode
+    matrix for --tpu-device-resolve on: raw/verbose are pinned elsewhere)."""
+    r = run_cli(["--ifile", str(modes1_path), "--onlyaddr",
+                 "--tpu-device-resolve", "on", "--tpu-batch", "2"],
+                timeout=420)
+    assert r.returncode == 0
+    assert r.stdout.decode() == (golden_dir / "golden_onlyaddr.txt").read_text()
+
+    r2 = run_cli(["--ifile", str(modes1_path), "--stats",
+                  "--tpu-device-resolve", "on", "--tpu-batch", "2"],
+                 timeout=420)
+    assert r2.returncode == 0
+    assert r2.stdout.decode() == (golden_dir / "golden_stats.txt").read_text()
