@@ -456,8 +456,11 @@ def _step_semantics(pf, w1, w2, skip, lookup, add):
     return word, skip
 
 
-def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now,
-                       skip0=jnp.int32(0)):
+def _resolve_words_xla(pf, w1, w2, cache_addr, cache_ts, now, skip0=0):
+    # NB: a `jnp.int32(0)` default here would materialize a device array at
+    # IMPORT time — committing the JAX backend before the CLI/tools can pin
+    # a platform, and hanging the import entirely when the TPU tunnel is
+    # wedged; the scan below asarray-converts whatever it gets
     """lax.scan backend — exact but slow on TPU (~us/step); used on CPU and
     as the differential oracle for the Pallas kernel.  Walks EVERY slot of
     the flat stream; invalid slots (valid bit clear) are no-ops that emit
