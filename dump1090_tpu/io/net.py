@@ -66,6 +66,15 @@ class NetworkServices:
         self._started = threading.Event()
         self._start_error: OSError | None = None
         self._servers: list[asyncio.base_events.Server] = []
+        # broadcast coalescing: the decode thread appends here and at most
+        # ONE drain callback is in flight on the loop, which batches every
+        # pending line into a single write per client (a file decode can
+        # emit messages orders of magnitude faster than per-message
+        # call_soon_threadsafe callbacks drain — an unbounded callback
+        # backlog starves accepts and grows memory)
+        self._pend_lock = threading.Lock()
+        self._pending: list[tuple[set, bytes]] = []
+        self._drain_scheduled = False
 
     def _log(self, msg: str) -> None:
         # --debug n lines go to STDOUT with reference wording
@@ -148,23 +157,59 @@ class NetworkServices:
         if self.loop is None or not clients:
             return
         data = text.encode()
+        with self._pend_lock:
+            self._pending.append((clients, data))
+            if self._drain_scheduled:
+                return
+            self._drain_scheduled = True
+        try:
+            self.loop.call_soon_threadsafe(self._drain_broadcasts)
+        except RuntimeError:  # loop already closed (shutdown race)
+            with self._pend_lock:
+                self._drain_scheduled = False
 
-        def _send() -> None:
-            for w in list(clients):
-                try:
-                    if w.transport.get_write_buffer_size() > self.MAX_WRITE_BUFFER:
-                        # reference drops a client on any short write
-                        # (dump1090.c:2372-2375 → modesFreeClient)
-                        fd = self._fd(w)
+    def _drain_broadcasts(self) -> None:
+        """Loop-side: flush every pending broadcast, one joined write per
+        client set — so a burst of N messages costs one callback and one
+        write, not N of each."""
+        while True:
+            with self._pend_lock:
+                items = self._pending
+                self._pending = []
+                if not items:
+                    self._drain_scheduled = False
+                    return
+            # group consecutive lines by destination set (raw and sbs
+            # interleave rarely; join preserves per-set emission order) —
+            # capped per write so the MAX_WRITE_BUFFER drop check below
+            # still fires while a stalled client's buffer grows
+            join_cap = 256 << 10
+            k = 0
+            while k < len(items):
+                clients, data = items[k]
+                size = len(data)
+                j = k + 1
+                while (j < len(items) and items[j][0] is clients
+                       and size < join_cap):
+                    size += len(items[j][1])
+                    j += 1
+                if j > k + 1:
+                    data = b"".join(d for _, d in items[k:j])
+                k = j
+                for w in list(clients):
+                    try:
+                        if (w.transport.get_write_buffer_size()
+                                > self.MAX_WRITE_BUFFER):
+                            # reference drops a client on any short write
+                            # (dump1090.c:2372-2375 → modesFreeClient)
+                            fd = self._fd(w)
+                            clients.discard(w)
+                            w.close()
+                            self._log_close(fd)
+                            continue
+                        w.write(data)
+                    except Exception:
                         clients.discard(w)
-                        w.close()
-                        self._log_close(fd)
-                        continue
-                    w.write(data)
-                except Exception:
-                    clients.discard(w)
-
-        self.loop.call_soon_threadsafe(_send)
 
     # ---- raw output 30002: write-only clients ------------------------------
 

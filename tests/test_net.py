@@ -201,3 +201,57 @@ def test_stalled_client_dropped_at_buffer_bound(services):
         net.MAX_WRITE_BUFFER = old
         stalled.close()
         live.close()
+
+
+def test_broadcast_under_client_churn(services):
+    """Race/stress: the decode thread broadcasts continuously while client
+    threads connect, read a little, and disconnect (some without reading —
+    the buffer-bound drop path).  The server must survive with no
+    exceptions and still serve a fresh client correctly afterwards
+    (reference analogue: modesSendAllClients vs modesAcceptClients /
+    modesFreeClient churn, dump1090.c:2246-2412)."""
+    import threading
+
+    net, (ro, ri, http, sbs), stats = services
+    stop = threading.Event()
+    errors = []
+
+    def churn(read_some):
+        try:
+            while not stop.is_set():
+                with socket.create_connection(("127.0.0.1", ro), 2) as s:
+                    if read_some:
+                        s.settimeout(0.2)
+                        try:
+                            s.recv(4096)
+                        except socket.timeout:
+                            pass
+                # else: connect-and-slam (never reads a byte)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=churn, args=(i % 2 == 0,), daemon=True)
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    line = "*8f4d2023587f345e35837e2218b2;\n"
+    t_end = time.time() + 3.0
+    n = 0
+    while time.time() < t_end:
+        net.broadcast_raw(line)
+        n += 1
+        if n % 50 == 0:
+            time.sleep(0.005)
+    stop.set()
+    for t in threads:
+        t.join(timeout=5)
+    assert not errors
+    # the hub still works: a fresh client sees a subsequent broadcast
+    with socket.create_connection(("127.0.0.1", ro), 2) as s:
+        time.sleep(0.1)
+        net.broadcast_raw(line)
+        s.settimeout(2)
+        got = s.recv(4096)
+    assert line.encode().strip() in got
