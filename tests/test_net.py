@@ -255,3 +255,44 @@ def test_broadcast_under_client_churn(services):
         s.settimeout(2)
         got = s.recv(4096)
     assert line.encode().strip() in got
+
+
+def test_http_under_client_churn(services):
+    """Parallel keep-alive HTTP clients plus connect-and-slam sockets must
+    not wedge the server; it still answers correctly afterwards
+    (reference analogue: the HTTP client handling inside the same select
+    loop, dump1090.c:2593-2767)."""
+    import threading
+
+    net, (ro, ri, http, sbs), stats = services
+    errors = []
+
+    def fetch_loop():
+        try:
+            for _ in range(10):
+                body = urllib.request.urlopen(
+                    f"http://127.0.0.1:{http}/data.json", timeout=5
+                ).read()
+                assert body.startswith(b"[")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def slam_loop():
+        try:
+            for _ in range(20):
+                with socket.create_connection(("127.0.0.1", http), 2) as s:
+                    s.send(b"GET /data.json HTTP/1.1\r\n")  # incomplete
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=fetch_loop) for _ in range(6)]
+    threads += [threading.Thread(target=slam_loop) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors
+    body = urllib.request.urlopen(
+        f"http://127.0.0.1:{http}/data.json", timeout=5
+    ).read()
+    assert body == b"[\n]\n"
