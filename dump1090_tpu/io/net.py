@@ -233,13 +233,24 @@ class NetworkServices:
         fd = self._fd(writer)
         self._log_new(fd)
         try:
+            # manual framing instead of reader.readline(): an oversized
+            # garbage "line" must be DISCARDED with the client kept — the
+            # reference's full-buffer reset (dump1090.c:2427-2433 /
+            # MODES_CLIENT_BUF_SIZE) — whereas readline() raises past the
+            # stream limit and would drop the connection
+            tail = b""
             while True:
-                line = await reader.readline()
-                if not line:
+                chunk = await reader.read(4096)
+                if not chunk:
                     break
-                if len(line) > 1024:  # MODES_CLIENT_BUF_SIZE garbage guard
-                    continue
-                self.on_raw_line(line.decode("ascii", "replace"))
+                *lines, tail = (tail + chunk).split(b"\n")
+                if len(tail) > 1024:
+                    tail = b""  # garbage guard: discard, keep serving
+                for line in lines:
+                    if 0 < len(line) <= 1024:
+                        self.on_raw_line(
+                            (line + b"\n").decode("ascii", "replace")
+                        )
         except Exception:
             pass
         finally:

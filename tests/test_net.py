@@ -296,3 +296,20 @@ def test_http_under_client_churn(services):
         f"http://127.0.0.1:{http}/data.json", timeout=5
     ).read()
     assert body == b"[\n]\n"
+
+
+def test_oversized_garbage_line_keeps_client(services):
+    """A raw-input client that sends a huge unterminated garbage blob must
+    have the garbage discarded and STAY connected — the reference's
+    full-buffer reset (dump1090.c:2427-2433) — so valid messages after the
+    junk still decode and relay."""
+    net, (ro, ri, http, sbs), stats = services
+    with socket.create_connection(("127.0.0.1", ro), 2) as out_s:
+        time.sleep(0.1)
+        with socket.create_connection(("127.0.0.1", ri), 2) as in_s:
+            in_s.sendall(b"Z" * 200_000)  # no newline: spans stream limit
+            time.sleep(0.2)
+            in_s.sendall(b"\n*8f4d2023587f345e35837e2218b2;\n")
+            out_s.settimeout(3)
+            got = out_s.recv(4096)
+    assert b"*8F4D2023587F345E35837E2218B2;" in got
