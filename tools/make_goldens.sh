@@ -65,4 +65,23 @@ PYEOF
 "$BUILD/dump1090" --ifile "$OUT/debug_p_input.bin" --debug p > "$OUT/golden_debug_p.txt"
 (cd "$BUILD" && rm -f frames.js && ./dump1090 --ifile "$FIX" --debug Dj > /dev/null \
   && cp frames.js "$OUT/golden_frames_Dj.js")
+# Live-socket goldens: raw (30002) and SBS (30003) streams from a --net run
+# fed over stdin.  Captured twice; the raw stream must be byte-identical and
+# the SBS stream identical after MSG,3 position canonicalization (the
+# reference's CPR newer-latch choice is wall-clock racy — see
+# tools/net_capture.py).
+python3 tools/net_capture.py --cmd "$BUILD/dump1090" --iq "$FIX" \
+  --out-raw "$OUT/golden_net_raw.txt" --out-sbs "$OUT/golden_sbs.txt"
+python3 tools/net_capture.py --cmd "$BUILD/dump1090" --iq "$FIX" \
+  --out-raw /tmp/net_raw_check.txt --out-sbs /tmp/sbs_check.txt
+cmp "$OUT/golden_net_raw.txt" /tmp/net_raw_check.txt
+python3 - "$OUT" <<'PYEOF'
+import sys
+sys.path.insert(0, "/root/repo/tools")
+from pathlib import Path
+from net_capture import canonicalize_sbs
+a = canonicalize_sbs(Path(sys.argv[1] + "/golden_sbs.txt").read_bytes())
+b = canonicalize_sbs(Path("/tmp/sbs_check.txt").read_bytes())
+assert a == b, "SBS capture not stable after canonicalization"
+PYEOF
 echo "goldens written to $OUT"
