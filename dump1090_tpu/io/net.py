@@ -233,24 +233,35 @@ class NetworkServices:
         fd = self._fd(writer)
         self._log_new(fd)
         try:
-            # manual framing instead of reader.readline(): an oversized
-            # garbage "line" must be DISCARDED with the client kept — the
-            # reference's full-buffer reset (dump1090.c:2427-2433 /
-            # MODES_CLIENT_BUF_SIZE) — whereas readline() raises past the
-            # stream limit and would drop the connection
-            tail = b""
+            # Exact emulation of the reference's client read buffer
+            # (modesReadFromClient, dump1090.c:2665-2719): a 1024-byte
+            # (MODES_CLIENT_BUF_SIZE) accumulator, '\n'-framed extraction,
+            # and a full-buffer RESET when 1024 bytes pile up without a
+            # separator — which discards the 1024-byte *prefix* while
+            # keeping both the client and the bytes that follow (so a valid
+            # `*hex;` after ≥1 KiB of unterminated junk on the same "line"
+            # is still decoded, exactly like the reference).  The algorithm
+            # is TCP-chunking-independent because the cap applies to the
+            # accumulator, not to individual reads.  readline() would
+            # instead raise past the stream limit and drop the connection.
+            buf = b""
             while True:
                 chunk = await reader.read(4096)
                 if not chunk:
                     break
-                *lines, tail = (tail + chunk).split(b"\n")
-                if len(tail) > 1024:
-                    tail = b""  # garbage guard: discard, keep serving
-                for line in lines:
-                    if 0 < len(line) <= 1024:
-                        self.on_raw_line(
-                            (line + b"\n").decode("ascii", "replace")
-                        )
+                pos = 0
+                while pos < len(chunk):
+                    take = min(1024 - len(buf), len(chunk) - pos)
+                    buf += chunk[pos:pos + take]
+                    pos += take
+                    while (i := buf.find(b"\n")) != -1:
+                        line, buf = buf[:i], buf[i + 1:]
+                        if line:
+                            self.on_raw_line(
+                                (line + b"\n").decode("ascii", "replace")
+                            )
+                    if len(buf) == 1024:
+                        buf = b""  # full-buffer garbage reset
         except Exception:
             pass
         finally:

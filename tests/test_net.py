@@ -313,3 +313,35 @@ def test_oversized_garbage_line_keeps_client(services):
             out_s.settimeout(3)
             got = out_s.recv(4096)
     assert b"*8F4D2023587F345E35837E2218B2;" in got
+
+
+def test_buffer_reset_prefix_discard_matches_reference(services):
+    """The 1 KiB client-buffer reset discards the accumulated PREFIX, not the
+    whole pending line (dump1090.c:2708-2714): a valid `*hex;` following
+    exactly 2048 unterminated junk bytes survives (junk consumed by two
+    resets), while one following 1000 junk bytes is destroyed (the reset
+    fires mid-message).  Both verified live against the reference binary."""
+    msg = b"*8f4d2023587f345e35837e2218b2;"
+    sentinel = b"*02e197b00179c3;\n"  # DF0 brute-force AP accept (cached)
+    net, (ro, ri, http, sbs), stats = services
+
+    def run(junk_len):
+        with socket.create_connection(("127.0.0.1", ro), 2) as out_s:
+            time.sleep(0.1)
+            with socket.create_connection(("127.0.0.1", ri), 2) as in_s:
+                in_s.sendall(b"Z" * junk_len + msg + b"\n")
+                in_s.sendall(msg + b"\n")  # always-decodable marker
+                out_s.settimeout(3)
+                got = b""
+                while got.count(b"*8F4D2023587F345E35837E2218B2;") < 1:
+                    got += out_s.recv(4096)
+                time.sleep(0.2)
+                out_s.setblocking(False)
+                try:
+                    got += out_s.recv(65536)
+                except OSError:
+                    pass
+        return got.count(b"*8F4D2023587F345E35837E2218B2;")
+
+    assert run(2048) == 2  # junk fully consumed by resets: both copies decode
+    assert run(1000) == 1  # reset fired mid-message: only the marker decodes
