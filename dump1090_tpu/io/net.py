@@ -254,7 +254,19 @@ class NetworkServices:
                     take = min(1024 - len(buf), len(chunk) - pos)
                     buf += chunk[pos:pos + take]
                     pos += take
-                    while (i := buf.find(b"\n")) != -1:
+                    while True:
+                        # strstr() framing can't see past a NUL byte: an
+                        # embedded NUL poisons the buffer — every later
+                        # '\n' (and line) is invisible and gets discarded
+                        # by the next full-buffer reset (verified live:
+                        # the reference stalls on `*hex;\0junk\n` until
+                        # 1024 bytes accumulate).  Search only up to the
+                        # first NUL, exactly like strstr.
+                        stop = buf.find(b"\0")
+                        region = buf if stop < 0 else buf[:stop]
+                        i = region.find(b"\n")
+                        if i < 0:
+                            break
                         line, buf = buf[:i], buf[i + 1:]
                         if line:
                             self.on_raw_line(

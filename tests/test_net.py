@@ -345,3 +345,40 @@ def test_buffer_reset_prefix_discard_matches_reference(services):
 
     assert run(2048) == 2  # junk fully consumed by resets: both copies decode
     assert run(1000) == 1  # reset fired mid-message: only the marker decodes
+
+
+def test_nul_byte_poisons_framing_until_reset(services):
+    """An embedded NUL byte hides every later '\\n' from the reference's
+    strstr() line framing (dump1090.c:2708-2714 operates on a C string), so
+    valid messages AFTER a NUL on the wire are swallowed until the 1 KiB
+    full-buffer reset clears the poisoned accumulator.  Lines completed
+    BEFORE the NUL still decode.  Verified live against the reference
+    binary (`*hex;\\0junk\\n` stalls it until 1024 bytes pile up)."""
+    msg = b"*8f4d2023587f345e35837e2218b2;"
+    out_msg = b"*8F4D2023587F345E35837E2218B2;"
+    net, (ro, ri, http, sbs), stats = services
+
+    def drain(out_s, want, timeout=3.0):
+        out_s.settimeout(timeout)
+        got = b""
+        try:
+            while got.count(out_msg) < want:
+                got += out_s.recv(4096)
+        except OSError:
+            pass
+        return got
+
+    with socket.create_connection(("127.0.0.1", ro), 2) as out_s:
+        time.sleep(0.1)
+        with socket.create_connection(("127.0.0.1", ri), 2) as in_s:
+            # A line terminated BEFORE the NUL frames normally; the NUL
+            # then poisons the remainder: the second copy never decodes
+            # even though its '\n' is on the wire.
+            in_s.sendall(msg + b"\n\x00junk\n" + msg + b"\n")
+            got = drain(out_s, want=2, timeout=1.5)
+            assert got.count(out_msg) == 1
+            # Pad the accumulator to 1024 bytes: the full-buffer reset
+            # discards the poisoned bytes and framing resumes.
+            in_s.sendall(b" " * 1024 + msg + b"\n")
+            got += drain(out_s, want=2)
+    assert got.count(out_msg) == 2
