@@ -34,6 +34,7 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 SENTINEL = b"*8f4d2023991093ad087c133060d1;"  # clean DF17 from the golden set
 SENTINEL_OUT = b"*" + SENTINEL[1:-1].upper() + b";"
@@ -140,8 +141,9 @@ def gen_stream(rng: np.random.Generator, n: int) -> bytes:
 
 
 def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
-                timeout: float = 120.0) -> bytes:
-    """Spawn a --net-only decoder, relay `stream` + sentinel, return output."""
+                timeout: float = 120.0) -> tuple[bytes, bytes]:
+    """Spawn a --net-only decoder, relay `stream` + sentinel, return the
+    (raw 30002, SBS 30003) output streams."""
     for attempt in range(3):
         ports = _free_ports(4)
         ro, ri, http_p, sbs = ports
@@ -153,31 +155,38 @@ def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
                                 stderr=subprocess.DEVNULL, cwd=cwd)
         try:
             out_s = _connect(ro, proc)
+            sbs_s = _connect(sbs, proc)
             in_s = _connect(ri, proc)
             time.sleep(0.2)
-            # Drain the relay CONCURRENTLY with feeding input: both decoders
-            # drop (reference) or bound-then-drop (ours) a client whose
-            # output socket stalls, so a send-then-read harness loses data.
+            # Drain the outputs CONCURRENTLY with feeding input: both
+            # decoders drop (reference) or bound-then-drop (ours) a client
+            # whose output socket stalls, so a send-then-read harness
+            # loses data.
             import threading
 
             chunks: list[bytes] = []
+            sbs_chunks: list[bytes] = []
             done = threading.Event()
             out_s.settimeout(None)  # _connect leaves a 2 s connect timeout
+            sbs_s.settimeout(None)
 
-            def drain() -> None:
+            def drain(sock, sink, signal=None) -> None:
                 try:
                     while True:
-                        b_ = out_s.recv(1 << 16)
+                        b_ = sock.recv(1 << 16)
                         if not b_:
                             break
-                        chunks.append(b_)
+                        sink.append(b_)
                 except OSError:
                     pass
                 finally:
-                    done.set()
+                    if signal is not None:
+                        signal.set()
 
-            t = threading.Thread(target=drain, daemon=True)
-            t.start()
+            threading.Thread(target=drain, args=(out_s, chunks, done),
+                             daemon=True).start()
+            threading.Thread(target=drain, args=(sbs_s, sbs_chunks),
+                             daemon=True).start()
             in_s.sendall(stream)
             # 2 KiB whitespace pad: forces >=1 full-buffer reset so a
             # NUL-poisoned pending buffer (see gen_stream) is flushed and
@@ -191,7 +200,7 @@ def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
                     raise RuntimeError("relay closed early")
                 time.sleep(0.05)
             time.sleep(0.4)  # settle any queued trailing output
-            return b"".join(chunks)
+            return b"".join(chunks), b"".join(sbs_chunks)
         except RuntimeError:
             if attempt == 2:
                 raise
@@ -230,30 +239,47 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=400, help="lines per round")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--mode", default="default",
+                    choices=["default", "aggressive", "no-fix"],
+                    help="CRC-fix policy passed to BOTH decoders")
     args = ap.parse_args()
 
-    ours_cmd = [sys.executable, "-m", "dump1090_tpu", "--tpu-backend", "cpu"]
+    mode_flags = {"default": [], "aggressive": ["--aggressive"],
+                  "no-fix": ["--no-fix"]}[args.mode]
+    ours_cmd = ([sys.executable, "-m", "dump1090_tpu", "--tpu-backend", "cpu"]
+                + mode_flags)
+    from net_capture import canonicalize_sbs  # MSG,3 CPR latch is racy
+
     fails = 0
     for k in range(args.rounds):
         rng = np.random.default_rng(args.seed + k)
         stream = gen_stream(rng, args.n)
-        ref = run_decoder([args.ref], stream)
-        ours = run_decoder(ours_cmd, stream, cwd=str(REPO))
-        if ref != ours:
+        ref, ref_sbs = run_decoder([args.ref] + mode_flags, stream)
+        ours, ours_sbs = run_decoder(ours_cmd, stream, cwd=str(REPO))
+        ok = ref == ours and (canonicalize_sbs(ref_sbs)
+                              == canonicalize_sbs(ours_sbs))
+        if not ok:
             fails += 1
-            Path(f"/tmp/fuzz_hex_fail_{args.seed + k}.bin").write_bytes(stream)
-            Path(f"/tmp/fuzz_hex_fail_{args.seed + k}.ref").write_bytes(ref)
-            Path(f"/tmp/fuzz_hex_fail_{args.seed + k}.ours").write_bytes(ours)
-            rl, ol = ref.split(b"\n"), ours.split(b"\n")
+            for tag, data in (("bin", stream), ("ref", ref), ("ours", ours),
+                              ("ref_sbs", ref_sbs), ("ours_sbs", ours_sbs)):
+                Path(f"/tmp/fuzz_hex_fail_{args.seed + k}.{tag}"
+                     ).write_bytes(data)
+            which = ("raw" if ref != ours else "sbs")
+            rl, ol = ((ref, ours) if ref != ours else
+                      (ref_sbs, ours_sbs))
+            rl, ol = rl.split(b"\n"), ol.split(b"\n")
             for i, (a, b) in enumerate(zip(rl, ol)):
                 if a != b:
-                    print(f"[{k}] FIRST DIFF line {i}: ref={a!r} ours={b!r}")
+                    print(f"[{k}] FIRST {which} DIFF line {i}: "
+                          f"ref={a!r} ours={b!r}")
                     break
             else:
-                print(f"[{k}] length diff: ref={len(rl)} ours={len(ol)}")
+                print(f"[{k}] {which} length diff: ref={len(rl)} "
+                      f"ours={len(ol)}")
             print(f"[{k}] FAIL (saved to /tmp/fuzz_hex_fail_*)")
         else:
-            print(f"[{k}] ok ({ref.count(b';')} relayed)")
+            print(f"[{k}] ok ({ref.count(b';')} relayed, "
+                  f"{ref_sbs.count(b'MSG')} sbs)")
     sys.exit(1 if fails else 0)
 
 
