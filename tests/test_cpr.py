@@ -150,3 +150,36 @@ def test_c_int_mod():
     assert cpr.c_int_mod(7, 3) == 1
     assert cpr.c_int_mod(-7, 3) == 2   # C: -7 % 3 == -1, then +3
     assert cpr.c_int_mod(0, 60) == 0
+
+
+def test_cpr_golden_differential():
+    """Bit-exact replay of tests/golden/golden_cpr.txt: 4210 fuzz vectors
+    evaluated by the REFERENCE's decodeCPR/decodeCPRSurface via a C harness
+    (tools/make_cpr_golden.sh).  Our doubles must equal the C doubles to the
+    last bit — IEEE-754 patterns are compared, not a tolerance."""
+    import struct
+    from pathlib import Path
+
+    golden = (Path(__file__).parent / "golden" / "golden_cpr.txt").read_text()
+
+    def bits(x: float) -> str:
+        return struct.pack(">d", x).hex()
+
+    n_air = n_surf = 0
+    for ln in golden.splitlines():
+        inp, _, want = ln.partition(" -> ")
+        f = inp.split()
+        if f[0] == "A":
+            got = cpr.decode_cpr_airborne(
+                int(f[1]), int(f[2]), int(f[3]), int(f[4]), bool(int(f[5])))
+            n_air += 1
+        else:
+            got = cpr.decode_cpr_surface(
+                float.fromhex(f[1]), float.fromhex(f[2]),
+                int(f[3]), int(f[4]), int(f[5]))
+            n_surf += 1
+        rendered = ("NONE" if got is None
+                    else f"{bits(got[0])} {bits(got[1])}")
+        assert rendered == want, f"CPR divergence on {inp!r}: " \
+                                 f"ours={rendered} ref={want}"
+    assert n_air >= 2000 and n_surf >= 1500
