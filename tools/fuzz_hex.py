@@ -141,9 +141,13 @@ def gen_stream(rng: np.random.Generator, n: int) -> bytes:
 
 
 def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
-                timeout: float = 120.0) -> tuple[bytes, bytes]:
+                timeout: float = 120.0) -> tuple[bytes, bytes, bytes]:
     """Spawn a --net-only decoder, relay `stream` + sentinel, return the
-    (raw 30002, SBS 30003) output streams."""
+    (raw 30002, SBS 30003, verbose stdout) output streams.
+
+    stdout is the displayModesMessage text for every accepted message —
+    line-buffered (stdbuf -oL / python -u) so the buffered tail isn't lost
+    when the process is killed after the sentinel relays."""
     for attempt in range(3):
         ports = _free_ports(4)
         ro, ri, http_p, sbs = ports
@@ -151,7 +155,7 @@ def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
                       "--net-ri-port", str(ri), "--net-http-port",
                       str(http_p), "--net-sbs-port", str(sbs)]
         proc = subprocess.Popen(full, stdin=subprocess.DEVNULL,
-                                stdout=subprocess.DEVNULL,
+                                stdout=subprocess.PIPE,
                                 stderr=subprocess.DEVNULL, cwd=cwd)
         try:
             out_s = _connect(ro, proc)
@@ -166,6 +170,7 @@ def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
 
             chunks: list[bytes] = []
             sbs_chunks: list[bytes] = []
+            std_chunks: list[bytes] = []
             done = threading.Event()
             out_s.settimeout(None)  # _connect leaves a 2 s connect timeout
             sbs_s.settimeout(None)
@@ -183,9 +188,21 @@ def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
                     if signal is not None:
                         signal.set()
 
+            def drain_pipe(pipe, sink) -> None:
+                try:
+                    while True:
+                        b_ = pipe.read1(1 << 16)  # read() would block to EOF
+                        if not b_:
+                            break
+                        sink.append(b_)
+                except OSError:
+                    pass
+
             threading.Thread(target=drain, args=(out_s, chunks, done),
                              daemon=True).start()
             threading.Thread(target=drain, args=(sbs_s, sbs_chunks),
+                             daemon=True).start()
+            threading.Thread(target=drain_pipe, args=(proc.stdout, std_chunks),
                              daemon=True).start()
             in_s.sendall(stream)
             # 2 KiB whitespace pad: forces >=1 full-buffer reset so a
@@ -200,7 +217,7 @@ def run_decoder(cmd: list[str], stream: bytes, cwd: str | None = None,
                     raise RuntimeError("relay closed early")
                 time.sleep(0.05)
             time.sleep(0.4)  # settle any queued trailing output
-            return b"".join(chunks), b"".join(sbs_chunks)
+            return b"".join(chunks), b"".join(sbs_chunks), b"".join(std_chunks)
         except RuntimeError:
             if attempt == 2:
                 raise
@@ -246,27 +263,33 @@ def main() -> None:
 
     mode_flags = {"default": [], "aggressive": ["--aggressive"],
                   "no-fix": ["--no-fix"]}[args.mode]
-    ours_cmd = ([sys.executable, "-m", "dump1090_tpu", "--tpu-backend", "cpu"]
-                + mode_flags)
+    ref_cmd = ["stdbuf", "-oL", args.ref] + mode_flags
+    ours_cmd = ([sys.executable, "-u", "-m", "dump1090_tpu",
+                 "--tpu-backend", "cpu"] + mode_flags)
     from net_capture import canonicalize_sbs  # MSG,3 CPR latch is racy
 
     fails = 0
     for k in range(args.rounds):
         rng = np.random.default_rng(args.seed + k)
         stream = gen_stream(rng, args.n)
-        ref, ref_sbs = run_decoder([args.ref] + mode_flags, stream)
-        ours, ours_sbs = run_decoder(ours_cmd, stream, cwd=str(REPO))
-        ok = ref == ours and (canonicalize_sbs(ref_sbs)
-                              == canonicalize_sbs(ours_sbs))
-        if not ok:
+        ref, ref_sbs, ref_std = run_decoder(ref_cmd, stream)
+        ours, ours_sbs, ours_std = run_decoder(ours_cmd, stream,
+                                               cwd=str(REPO))
+        diffs = [name for name, a, b in (
+            ("raw", ref, ours),
+            ("sbs", canonicalize_sbs(ref_sbs), canonicalize_sbs(ours_sbs)),
+            ("stdout", ref_std, ours_std),
+        ) if a != b]
+        if diffs:
             fails += 1
             for tag, data in (("bin", stream), ("ref", ref), ("ours", ours),
-                              ("ref_sbs", ref_sbs), ("ours_sbs", ours_sbs)):
+                              ("ref_sbs", ref_sbs), ("ours_sbs", ours_sbs),
+                              ("ref_std", ref_std), ("ours_std", ours_std)):
                 Path(f"/tmp/fuzz_hex_fail_{args.seed + k}.{tag}"
                      ).write_bytes(data)
-            which = ("raw" if ref != ours else "sbs")
-            rl, ol = ((ref, ours) if ref != ours else
-                      (ref_sbs, ours_sbs))
+            which = diffs[0]
+            rl, ol = {"raw": (ref, ours), "sbs": (ref_sbs, ours_sbs),
+                      "stdout": (ref_std, ours_std)}[which]
             rl, ol = rl.split(b"\n"), ol.split(b"\n")
             for i, (a, b) in enumerate(zip(rl, ol)):
                 if a != b:
@@ -276,10 +299,11 @@ def main() -> None:
             else:
                 print(f"[{k}] {which} length diff: ref={len(rl)} "
                       f"ours={len(ol)}")
-            print(f"[{k}] FAIL (saved to /tmp/fuzz_hex_fail_*)")
+            print(f"[{k}] FAIL on {diffs} (saved to /tmp/fuzz_hex_fail_*)")
         else:
             print(f"[{k}] ok ({ref.count(b';')} relayed, "
-                  f"{ref_sbs.count(b'MSG')} sbs)")
+                  f"{ref_sbs.count(b'MSG')} sbs, "
+                  f"{ref_std.count(b'CRC')} displayed)")
     sys.exit(1 if fails else 0)
 
 
