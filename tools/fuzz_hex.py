@@ -66,6 +66,16 @@ def make_short_ap(rng: np.random.Generator, addr: int, df: int) -> bytes:
     return head + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
 
 
+def make_long_ap(rng: np.random.Generator, addr: int, df: int) -> bytes:
+    """A 14-byte DF20/21 frame AP-keyed to ``addr`` (long bruteForceAP
+    branch, dump1090.c:955-960); carries a random MB field."""
+    head = (bytes([df << 3])
+            + rng.integers(0, 256, 10, dtype=np.uint8).tobytes())
+    crc = _crc(head + b"\x00\x00\x00", 112)
+    ap = crc ^ addr
+    return head + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
+
+
 def hexline(frame: bytes, rng: np.random.Generator) -> bytes:
     h = frame.hex()
     style = rng.integers(0, 4)
@@ -94,10 +104,14 @@ def gen_stream(rng: np.random.Generator, n: int) -> bytes:
                 b = int(rng.integers(5, 112))
                 f[b // 8] ^= 0x80 >> (b % 8)
             out.append(hexline(bytes(f), rng))
-        elif r < 60 and cached:  # short frame AP-keyed to a cached address
+        elif r < 60 and cached:  # AP-keyed frame targeting a cached address
             addr = cached[int(rng.integers(0, len(cached)))]
-            df = int(rng.choice([0, 4, 5]))
-            out.append(hexline(make_short_ap(rng, addr, df), rng))
+            if rng.integers(0, 3):  # short DF0/4/5
+                df = int(rng.choice([0, 4, 5]))
+                out.append(hexline(make_short_ap(rng, addr, df), rng))
+            else:  # long DF20/21 (Comm-B, long bruteForceAP branch)
+                df = int(rng.choice([20, 21]))
+                out.append(hexline(make_long_ap(rng, addr, df), rng))
         elif r < 68:  # short frame AP-keyed to an UNcached address (reject)
             out.append(hexline(make_short_ap(
                 rng, int(rng.integers(1, 1 << 24)), 4), rng))
