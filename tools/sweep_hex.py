@@ -111,8 +111,94 @@ def stream_movement() -> bytes:
     return b"".join(out)
 
 
+def stream_velocity() -> bytes:
+    from dump1090_tpu.utils.synth import make_df17_frame
+
+    # DF17 type 19 subtype 1/2 (ground velocity, dump1090.c:1275-1296):
+    # edge-cross EW x NS magnitudes with both direction bits, cycling the
+    # vertical-rate field — covers sqrt/atan2 heading, the *-1 direction
+    # flips, the 360-wrap, and vert-rate sign/source rendering.
+    edges = (0, 1, 2, 3, 5, 100, 511, 512, 777, 1022, 1023)
+    vrs = (0, 1, 2, 100, 510, 511)
+    out = []
+    k = 0
+    for ew in edges:
+        for ns in edges:
+            for dirbits in range(4):
+                vr = vrs[k % len(vrs)]
+                vr_sign = (k >> 1) & 1
+                k += 1
+                me = bytes([
+                    ((dirbits & 1) << 2) | ((ew >> 8) & 3), ew & 0xFF,
+                    ((dirbits & 2) << 6) | ((ns >> 3) & 0x7F),
+                    ((ns & 7) << 5) | ((k & 1) << 4) | (vr_sign << 3)
+                    | ((vr >> 6) & 7),
+                    (vr & 0x3F) << 2, 0x55,
+                ])
+                f = make_df17_frame(addr=ADDR, metype=19,
+                                    mesub=1 + (k % 2), me_payload=me)
+                out.append(b"*" + f.hex().encode() + b";\n")
+    return b"".join(out)
+
+
+def stream_airspeed() -> bytes:
+    from dump1090_tpu.utils.synth import make_df17_frame
+
+    # DF17 type 19 subtype 3/4: every 10-bit heading value with the
+    # heading-valid bit both ways (heading * 360/1024 truncation).
+    out = []
+    for hdg in range(1024):
+        for valid in (0, 4):
+            me = bytes([valid | ((hdg >> 8) & 3), hdg & 0xFF,
+                        0x22, 0x33, 0x44, 0x55])
+            f = make_df17_frame(addr=ADDR, metype=19, mesub=3 + (hdg & 1),
+                                me_payload=me)
+            out.append(b"*" + f.hex().encode() + b";\n")
+    return b"".join(out)
+
+
+def stream_callsign() -> bytes:
+    from dump1090_tpu.utils.synth import make_df17_frame
+
+    # DF17 type 1-4 (identification): every AIS charset code (64) in every
+    # of the 8 callsign slots — pins the '?'-substitution table and the
+    # SBS/display rendering of partial/garbage callsigns.
+    out = []
+    for slot in range(8):
+        for code in range(64):
+            bits = 0
+            for s in range(8):
+                bits = (bits << 6) | (code if s == slot else 0x31)  # '1'
+            me = bits.to_bytes(6, "big")
+            f = make_df17_frame(addr=ADDR, metype=1 + (code % 4),
+                                mesub=code % 8, me_payload=me)
+            out.append(b"*" + f.hex().encode() + b";\n")
+    return b"".join(out)
+
+
+def stream_df11() -> bytes:
+    from dump1090_tpu.ops.crc import compute_crc
+
+    # DF11 with every CA and syndromes 0..127: crosses the syndrome<80 IID
+    # acceptance boundary (dump1090.c:1203-1209); the address is cached by
+    # a clean DF17 first so the IID path's cache test passes.
+    out = [_cache_line()]
+    for ca in range(8):
+        for syn in range(128):
+            head = bytes([(11 << 3) | ca, (ADDR >> 16) & 0xFF,
+                          (ADDR >> 8) & 0xFF, ADDR & 0xFF])
+            crc = compute_crc(np.frombuffer(head + b"\x00\x00\x00",
+                                            np.uint8), 56) ^ syn
+            frame = head + bytes([(crc >> 16) & 0xFF, (crc >> 8) & 0xFF,
+                                  crc & 0xFF])
+            out.append(b"*" + frame.hex().encode() + b";\n")
+    return b"".join(out)
+
+
 SWEEPS = {"ac13": stream_ac13, "ac12": stream_ac12, "id13": stream_id13,
-          "movement": stream_movement, "fsdr": stream_fsdr}
+          "movement": stream_movement, "fsdr": stream_fsdr,
+          "velocity": stream_velocity, "airspeed": stream_airspeed,
+          "callsign": stream_callsign, "df11": stream_df11}
 
 
 def main() -> None:
