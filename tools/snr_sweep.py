@@ -91,7 +91,16 @@ def main() -> None:
                     help="reference binary (skipped if missing)")
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--snrs", default="-2,0,2,4,6,8,10,14,20")
+    ap.add_argument("--backend", default="cpu",
+                    help="JAX platform for our decoder (default cpu: the "
+                    "sweep is a parity check, and a direct run must not "
+                    "silently target — and hang with — the tunneled TPU)")
     args = ap.parse_args()
+
+    import jax
+
+    # jax.config.update beats the axon sitecustomize; the env var does not
+    jax.config.update("jax_platforms", args.backend)
 
     snrs = [float(s) for s in args.snrs.split(",")]
     have_ref = Path(args.ref).exists()
