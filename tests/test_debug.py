@@ -103,6 +103,46 @@ def test_debug_c_golden(modes1_path, golden_dir):
     assert out.getvalue() == golden
 
 
+def _run_debug_with_hub(inp_path, flags: str) -> str:
+    """Pipeline + hub wired exactly like the CLI's verbose mode: debug dumps
+    and decoded-field display interleave on one stream, matching the
+    reference's detectModeS-dump + useModesMessage ordering."""
+    from dump1090_tpu.models.hub import HubConfig, MessageHub
+    from dump1090_tpu.models.tracker import AircraftTracker
+
+    out = io.StringIO()
+    p = DemodPipeline(
+        PipelineConfig(), debug_flags=dbg.DebugFlags.parse(flags), debug_out=out
+    )
+    hub = MessageHub(HubConfig(), AircraftTracker(), p.stats, out=out)
+    with open(inp_path, "rb") as f:
+        p.run(f, hub.use_message)
+    return out.getvalue()
+
+
+def test_debug_d_golden(modes1_path, golden_dir):
+    """Full-fixture --debug d (demod-attempt-with-correction dumps,
+    dump1090.c:1779-1783 MODES_DEBUG_DEMODERR) byte-identical to the
+    reference: 6 dump blocks interleaved with the verbose display."""
+    golden = (golden_dir / "golden_debug_d.txt").read_text()
+    assert _run_debug_with_hub(modes1_path, "d") == golden
+
+
+def test_debug_D_golden(golden_dir):
+    """--debug D (every zero-error demodulation, dump1090.c:1757-1758
+    MODES_DEBUG_DEMOD) byte-identical to the reference on the synthetic
+    clean-frame + noise capture (the full fixture's D dump is ~4 MB)."""
+    golden = (golden_dir / "golden_debug_D_synth.txt").read_text()
+    assert _run_debug_with_hub(golden_dir / "debug_p_input.bin", "D") == golden
+
+
+def test_debug_C_golden(golden_dir):
+    """--debug C (good-CRC dumps, dump1090.c:1763-1766 MODES_DEBUG_GOODCRC)
+    byte-identical to the reference on the synthetic capture."""
+    golden = (golden_dir / "golden_debug_C_synth.txt").read_text()
+    assert _run_debug_with_hub(golden_dir / "debug_p_input.bin", "C") == golden
+
+
 def test_frames_js_golden(modes1_path, golden_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     golden = (golden_dir / "golden_frames_Dj.js").read_text()

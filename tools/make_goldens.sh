@@ -46,6 +46,7 @@ FIX="$REF/testfiles/modes1.bin"
 "$BUILD/dump1090" --ifile "$FIX" --raw --no-crc-check > "$OUT/golden_raw_nocrccheck.txt"
 "$BUILD/dump1090" --ifile "$FIX"                      > "$OUT/golden_verbose.txt"
 "$BUILD/dump1090" --ifile "$FIX" --debug c            > "$OUT/golden_debug_c.txt"
+"$BUILD/dump1090" --ifile "$FIX" --debug d            > "$OUT/golden_debug_d.txt"
 # synthetic fixture for the --debug p (rejected preamble) dump path: one
 # clean DF17 frame + a small noise blob (kept tiny; real captures produce
 # gigabytes of reject dumps)
@@ -63,6 +64,10 @@ stream[30000:30060] = (127 + rng.normal(0, 30, 60)).clip(0, 255).astype(np.uint8
 stream.tofile(sys.argv[1] + "/debug_p_input.bin")
 PYEOF
 "$BUILD/dump1090" --ifile "$OUT/debug_p_input.bin" --debug p > "$OUT/golden_debug_p.txt"
+# D (every zero-error demod) and C (good CRC) on the same small synthetic
+# capture: on the full fixture those dumps run 4 MB / 2 MB
+"$BUILD/dump1090" --ifile "$OUT/debug_p_input.bin" --debug D > "$OUT/golden_debug_D_synth.txt"
+"$BUILD/dump1090" --ifile "$OUT/debug_p_input.bin" --debug C > "$OUT/golden_debug_C_synth.txt"
 (cd "$BUILD" && rm -f frames.js && ./dump1090 --ifile "$FIX" --debug Dj > /dev/null \
   && cp frames.js "$OUT/golden_frames_Dj.js")
 # Live-socket goldens: raw (30002) and SBS (30003) streams from a --net run
