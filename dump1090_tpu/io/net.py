@@ -76,13 +76,13 @@ class NetworkServices:
         self._pending: list[tuple[set, bytes]] = []
         self._drain_scheduled = False
 
-    def _log(self, msg: str) -> None:
+    def _log(self, msg: str, end: str = "\n") -> None:
         # --debug n lines go to STDOUT with reference wording
-        # (dump1090.c:2334-2335, 2345-2346, 2569-2570, 2590-2592)
+        # (dump1090.c:2334-2335, 2345-2346, 2569-2570, 2590-2592, 2638-2639)
         if self.cfg.debug_net:
             import sys
 
-            sys.stdout.write(msg + "\n")
+            sys.stdout.write(msg + end)
             sys.stdout.flush()
 
     @staticmethod
@@ -315,8 +315,12 @@ class NetworkServices:
                 if url is None:
                     break
                 # handleHTTPRequest's debug prints (dump1090.c:2569-2570,
-                # 2590-2592): the raw request buffer, then keepalive + URL
-                self._log(f"\nHTTP request: {text}")
+                # 2590-2592): the raw request buffer, then keepalive + URL.
+                # The reference NUL-terminates the buffer AT the \r\n\r\n
+                # separator before the handler runs (dump1090.c:2692), so
+                # the dumped request excludes it — including the final
+                # header line's own \r\n, which the separator match eats.
+                self._log(f"\nHTTP request: {text[:-4]}")
                 self._log(f"\nHTTP keep alive: {int(keepalive)}")
                 self._log(f"HTTP requested URL: {url}\n")
                 if "/data.json" in url:
@@ -333,6 +337,8 @@ class NetworkServices:
                     "Access-Control-Allow-Origin: *\r\n"
                     "\r\n"
                 )
+                # dump1090.c:2638-2639: the raw reply header, no added newline
+                self._log("HTTP Reply header:\n" + hdr, end="")
                 writer.write(hdr.encode() + content)
                 await writer.drain()
                 self.on_http_request()

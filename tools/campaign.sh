@@ -62,6 +62,9 @@ python tools/sweep_hex.py --ref "$REF" --sweep all
 echo "== live /data.json differential =="
 python tools/http_diff.py --ref "$REF"
 
+echo "== --debug n network-event log differential =="
+python tools/netdebug_diff.py --ref "$REF"
+
 echo "== sensitivity parity (16-point SNR table) =="
 python tools/snr_sweep.py --ref "$REF"
 
