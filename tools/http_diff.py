@@ -73,12 +73,13 @@ def scenario() -> list[bytes | float]:
     return out
 
 
-def run_one(cmd: list[str], cwd: str | None = None) -> bytes:
+def run_one(cmd: list[str], cwd: str | None = None,
+            extra: list[str] | None = None) -> bytes:
     ports = fuzz_hex._free_ports(4)
     ro, ri, http_p, sbs = ports
     full = cmd + ["--net-only", "--net-ro-port", str(ro),
                   "--net-ri-port", str(ri), "--net-http-port", str(http_p),
-                  "--net-sbs-port", str(sbs)]
+                  "--net-sbs-port", str(sbs)] + (extra or [])
     proc = subprocess.Popen(full, stdin=subprocess.DEVNULL,
                             stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL, cwd=cwd)
@@ -110,15 +111,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/tmp/refbuild/dump1090")
     args = ap.parse_args()
-    ref = run_one([args.ref])
-    ours = run_one([sys.executable, "-m", "dump1090_tpu",
-                    "--tpu-backend", "cpu"], cwd=str(REPO))
-    if ref != ours:
-        print(f"DIFF\nref:  {ref!r}\nours: {ours!r}")
-        sys.exit(1)
-    assert ref.count(b'"hex"') == 1, ref  # positionless aircraft omitted
-    assert b'"lat":0' not in ref
-    print(f"ok: /data.json identical ({ref!r})")
+    for extra in ([], ["--metric"]):
+        ref = run_one([args.ref], extra=extra)
+        ours = run_one([sys.executable, "-m", "dump1090_tpu",
+                        "--tpu-backend", "cpu"], cwd=str(REPO), extra=extra)
+        if ref != ours:
+            print(f"DIFF ({extra})\nref:  {ref!r}\nours: {ours!r}")
+            sys.exit(1)
+        assert ref.count(b'"hex"') == 1, ref  # positionless aircraft omitted
+        assert b'"lat":0' not in ref
+        print(f"ok: /data.json identical with {extra or 'defaults'} ({ref!r})")
 
 
 if __name__ == "__main__":
