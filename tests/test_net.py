@@ -382,3 +382,49 @@ def test_nul_byte_poisons_framing_until_reset(services):
             in_s.sendall(b" " * 1024 + msg + b"\n")
             got += drain(out_s, want=2)
     assert got.count(out_msg) == 2
+
+
+def test_debug_n_http_log_wording(capsys):
+    """--debug n stdout for one HTTP keep-alive request, pinned byte-exact
+    after fd canonicalization (print sites dump1090.c:2334,2345,2569-2570,
+    2590-2592,2638-2639; the request dump excludes the \r\n\r\n separator
+    because the reference NUL-terminates the buffer there, :2692).  The
+    live cross-decoder differential is tools/netdebug_diff.py."""
+    import re
+
+    ro, ri, http, sbs = _free_ports(4)
+    net = NetworkServices(
+        NetConfig(ro_port=ro, ri_port=ri, http_port=http, sbs_port=sbs,
+                  bind_host="127.0.0.1", debug_net=True),
+        on_raw_line=lambda line: None,
+        data_json=lambda: "[\n]\n",
+    )
+    net.start()
+    try:
+        with socket.create_connection(("127.0.0.1", http), 5) as s:
+            s.settimeout(5)
+            s.sendall(b"GET /data.json HTTP/1.1\r\nHost: t\r\n\r\n")
+            buf = b""
+            while b"[\n]\n" not in buf:
+                buf += s.recv(4096)
+    finally:
+        # the close log fires when the server's read sees EOF; give the
+        # loop a beat before tearing it down
+        time.sleep(0.3)
+        net.stop()
+    out = capsys.readouterr().out
+    out = re.sub(r"client \d+", "client N", out)
+    assert out == (
+        "Created new client N\n"
+        "\nHTTP request: GET /data.json HTTP/1.1\r\nHost: t\n"
+        "\nHTTP keep alive: 1\n"
+        "HTTP requested URL: /data.json\n\n"
+        "HTTP Reply header:\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Server: Dump1090\r\n"
+        "Content-Type: application/json;charset=utf-8\r\n"
+        "Connection: keep-alive\r\n"
+        "Content-Length: 4\r\n"
+        "Access-Control-Allow-Origin: *\r\n\r\n"
+        "Closing client N\n"
+    )
