@@ -491,7 +491,13 @@ def main(argv: list[str] | None = None) -> int:
 
         from .io.sources import open_iq_source
 
-        stream = open_iq_source(o.filename) if o.filename else None
+        try:
+            stream = open_iq_source(o.filename) if o.filename else None
+        except OSError as e:
+            # reference: perror("Opening data file") + exit(1),
+            # dump1090.c:2952-2953
+            print(f"Opening data file: {e.strerror}", file=sys.stderr)
+            return 1
         last_refresh = [0.0]
         t_start = time.time()
         profiler_cm = None

@@ -219,3 +219,12 @@ def test_onlyaddr_and_stats_via_device_resolver(modes1_path, golden_dir):
                  timeout=420)
     assert r2.returncode == 0
     assert r2.stdout.decode() == (golden_dir / "golden_stats.txt").read_text()
+
+
+def test_missing_ifile_error_parity():
+    """Missing --ifile: the reference perror()s 'Opening data file' to
+    stderr and exits 1 (dump1090.c:2952-2953) — no traceback."""
+    r = run_cli(["--ifile", "/nonexistent-capture.bin", "--raw"])
+    assert r.returncode == 1
+    assert r.stderr.decode() == "Opening data file: No such file or directory\n"
+    assert r.stdout == b""
