@@ -82,4 +82,12 @@ def open_iq_source(filename: str) -> BinaryIO:
     """'-' means stdin, like the reference (dump1090.c:2948-2950)."""
     if filename == "-":
         return sys.stdin.buffer
-    return open(filename, "rb")
+    try:
+        return open(filename, "rb")
+    except IsADirectoryError:
+        # C fopen() on a directory SUCCEEDS and every fread() then reads as
+        # EOF, so the reference decodes a directory exactly like an empty
+        # file (one padded first buffer, exit 0) rather than erroring
+        import io
+
+        return io.BytesIO(b"")

@@ -58,3 +58,14 @@ def test_loop_mode_rewinds():
     b = next(gen)
     # looped reads fill the whole payload with file content, no padding
     assert (b[CARRY_BYTES:] != 127).all()
+
+
+def test_open_iq_source_directory_reads_as_empty(tmp_path):
+    """C fopen() on a directory succeeds and fread() then reads as EOF, so
+    the reference decodes a directory exactly like an empty file (exit 0,
+    one padded first buffer) — never an error (dump1090.c:2952 only fires
+    when fopen fails)."""
+    from dump1090_tpu.io.sources import open_iq_source
+
+    f = open_iq_source(str(tmp_path))
+    assert f.read() == b""
