@@ -119,6 +119,24 @@ class Options:
         self.state_save: str | None = None
 
 
+def _c_atoi(s: str) -> int:
+    """C atoi/strtoll(,,10) semantics for reference-flag values: parse the
+    longest leading integer prefix, 0 on junk — never an exception
+    (dump1090.c:2860-2925 converts every numeric flag this way)."""
+    import re
+
+    m = re.match(r"[ \t\n\r\f\v]*[+-]?[0-9]+", s)
+    return int(m.group()) if m else 0
+
+
+def _c_atof(s: str) -> float:
+    """C atof: longest leading float prefix, 0.0 on junk (--gain)."""
+    import re
+
+    m = re.match(r"[ \t\n\r\f\v]*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?", s)
+    return float(m.group()) if m else 0.0
+
+
 def parse_args(argv: list[str]) -> Options:
     o = Options()
     j = 0
@@ -132,15 +150,15 @@ def parse_args(argv: list[str]) -> Options:
             return argv[j]
 
         if arg == "--device-index" and more:
-            o.dev_index = int(nxt())
+            o.dev_index = _c_atoi(nxt())
         elif arg == "--gain" and more:
-            o.gain = int(float(nxt()) * 10)
+            o.gain = int(_c_atof(nxt()) * 10)
         elif arg == "--enable-agc":
             o.enable_agc = True
         elif arg == "--freq" and more:
-            o.freq = int(nxt())
+            o.freq = _c_atoi(nxt())
         elif arg == "--ppm" and more:
-            o.ppm = int(nxt())
+            o.ppm = _c_atoi(nxt())
         elif arg == "--ifile" and more:
             o.filename = nxt()
         elif arg == "--loop":
@@ -157,13 +175,13 @@ def parse_args(argv: list[str]) -> Options:
             o.net = True
             o.net_only = True
         elif arg == "--net-ro-port" and more:
-            o.ro_port = int(nxt())
+            o.ro_port = _c_atoi(nxt())
         elif arg == "--net-ri-port" and more:
-            o.ri_port = int(nxt())
+            o.ri_port = _c_atoi(nxt())
         elif arg == "--net-http-port" and more:
-            o.http_port = int(nxt())
+            o.http_port = _c_atoi(nxt())
         elif arg == "--net-sbs-port" and more:
-            o.sbs_port = int(nxt())
+            o.sbs_port = _c_atoi(nxt())
         elif arg == "--onlyaddr":
             o.onlyaddr = True
         elif arg == "--metric":
@@ -173,9 +191,9 @@ def parse_args(argv: list[str]) -> Options:
         elif arg == "--interactive":
             o.interactive = True
         elif arg == "--interactive-rows" and more:
-            o.interactive_rows = int(nxt())
+            o.interactive_rows = _c_atoi(nxt())
         elif arg == "--interactive-ttl" and more:
-            o.interactive_ttl = int(nxt())
+            o.interactive_ttl = _c_atoi(nxt())
         elif arg == "--debug" and more:
             flags = nxt()
             for f in flags:
@@ -186,7 +204,7 @@ def parse_args(argv: list[str]) -> Options:
         elif arg == "--stats":
             o.stats = True
         elif arg == "--snip" and more:
-            o.snip = int(nxt())
+            o.snip = _c_atoi(nxt())
         elif arg == "--tpu-max-candidates" and more:
             o.max_candidates = int(nxt())
         elif arg == "--tpu-batch" and more:

@@ -228,3 +228,20 @@ def test_missing_ifile_error_parity():
     assert r.returncode == 1
     assert r.stderr.decode() == "Opening data file: No such file or directory\n"
     assert r.stdout == b""
+
+
+def test_numeric_flag_junk_parses_like_c_atoi():
+    """Reference numeric flags convert with atoi/atof — junk parses to 0,
+    prefixes parse to their longest numeric head, never an exception
+    (dump1090.c:2860-2925).  --tpu-* extensions stay strict."""
+    from dump1090_tpu.cli import _c_atof, _c_atoi, parse_args
+
+    assert _c_atoi("abc") == 0 and _c_atoi("  +42xyz") == 42
+    assert _c_atoi("-7rest") == -7 and _c_atof("junk") == 0.0
+    assert _c_atof("49.6dB") == 49.6
+    o = parse_args(["--snip", "abc"])
+    assert o.snip == 0
+    o = parse_args(["--gain", "49.6", "--ppm", "x", "--net-ro-port", "1x"])
+    # 49.6 * 10 = 496.0000000000000142 in binary doubles; C truncates the
+    # same double, so both land on 496
+    assert (o.gain, o.ppm, o.ro_port) == (496, 0, 1)
