@@ -444,7 +444,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         hub.raw_sink = net.broadcast_raw
         hub.sbs_sink = net.broadcast_sbs
-        net.start()
+        try:
+            net.start()
+        except OSError:
+            # reference order: main announces net-only mode (dump1090.c:2945)
+            # before modesInitNet fails the bind (:2282-2289), both on stderr
+            if o.net_only:
+                sys.stderr.write("Net-only mode, no RTL device or file open.\n")
+            sys.stderr.write(net.bind_error_message() + "\n")
+            return 1
 
     try:
         if o.net_only:

@@ -124,14 +124,39 @@ class NetworkServices:
         for s in self._servers:
             s.close()
 
+    def bind_error_message(self) -> str | None:
+        """Reference-worded line for a failed service bind
+        (modesInitNet, dump1090.c:2282-2289), or None."""
+        e = self._start_error
+        if e is None:
+            return None
+        import os as _os
+
+        descr = getattr(e, "modes_descr", "?")
+        port = getattr(e, "modes_port", 0)
+        reason = _os.strerror(e.errno) if e.errno else str(e)
+        return f"Error opening the listening port {port} ({descr}): {reason}"
+
     async def _start_servers(self) -> None:
+        # bind order AND descriptions mirror modesNetServices
+        # (dump1090.c:2263-2272): the first failing bind names the service
         c = self.cfg
-        self._servers = [
-            await asyncio.start_server(self._serve_raw_out, c.bind_host, c.ro_port),
-            await asyncio.start_server(self._serve_raw_in, c.bind_host, c.ri_port),
-            await asyncio.start_server(self._serve_http, c.bind_host, c.http_port),
-            await asyncio.start_server(self._serve_sbs, c.bind_host, c.sbs_port),
+        services = [
+            ("Raw TCP output", c.ro_port, self._serve_raw_out),
+            ("Raw TCP input", c.ri_port, self._serve_raw_in),
+            ("HTTP server", c.http_port, self._serve_http),
+            ("Basestation TCP output", c.sbs_port, self._serve_sbs),
         ]
+        self._servers = []
+        for descr, port, handler in services:
+            try:
+                self._servers.append(
+                    await asyncio.start_server(handler, c.bind_host, port)
+                )
+            except OSError as e:
+                e.modes_descr = descr
+                e.modes_port = port
+                raise
 
     def stop(self) -> None:
         if self.loop is not None:

@@ -245,3 +245,25 @@ def test_numeric_flag_junk_parses_like_c_atoi():
     # 49.6 * 10 = 496.0000000000000142 in binary doubles; C truncates the
     # same double, so both land on 496
     assert (o.gain, o.ppm, o.ro_port) == (496, 0, 1)
+
+
+def test_bind_failure_error_parity():
+    """Occupied listening port: reference wording + exit 1
+    (modesInitNet, dump1090.c:2282-2289), after the net-only announcement
+    (dump1090.c:2945), both on stderr — no traceback."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    s.listen(1)
+    port = s.getsockname()[1]
+    try:
+        r = run_cli(["--net-only", "--net-sbs-port", str(port)])
+    finally:
+        s.close()
+    assert r.returncode == 1
+    assert r.stderr.decode() == (
+        "Net-only mode, no RTL device or file open.\n"
+        f"Error opening the listening port {port} (Basestation TCP output): "
+        "Address already in use\n"
+    )
