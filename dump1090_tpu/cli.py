@@ -293,6 +293,19 @@ def print_stats(stats) -> None:
 def main(argv: list[str] | None = None) -> int:
     o = parse_args(sys.argv[1:] if argv is None else argv)
 
+    # C process semantics on a closed stdout pipe: die of SIGPIPE (the
+    # reference only ignores SIGPIPE in net mode, dump1090.c:2294) —
+    # `... --raw | head` must not print a BrokenPipeError traceback or keep
+    # decoding.  Python's default handler turns SIGPIPE into an exception;
+    # restore SIG_DFL for non-net runs.
+    if not o.net:
+        import signal
+
+        try:
+            signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+        except (ValueError, OSError, AttributeError):
+            pass  # non-main thread / non-POSIX: keep Python's default
+
     if o.snip is not None:
         snip_mode(o.snip)
         return 0

@@ -267,3 +267,26 @@ def test_bind_failure_error_parity():
         f"Error opening the listening port {port} (Basestation TCP output): "
         "Address already in use\n"
     )
+
+
+def test_sigpipe_kills_like_c(modes1_path):
+    """`--raw | head` parity: the reference dies of SIGPIPE when stdout
+    closes (only net mode ignores it, dump1090.c:2294); no BrokenPipeError
+    traceback, no decode-to-EOF."""
+    import signal
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dump1090_tpu", "--ifile", str(modes1_path),
+         "--raw"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env={**{k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+             "JAX_PLATFORMS": "cpu"},
+        cwd=REPO,
+    )
+    # read one line, then close the pipe under the writer
+    line = proc.stdout.readline()
+    assert line.startswith(b"*")
+    proc.stdout.close()
+    proc.wait(timeout=120)
+    assert proc.returncode == -signal.SIGPIPE
+    assert b"Traceback" not in proc.stderr.read()
