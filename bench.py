@@ -115,12 +115,12 @@ def main() -> None:
         if waited + 120 > wait_budget_s:
             log(f"bench.py: tunnel still unreachable after {attempt} probes / "
                 f"{waited:.0f} s (budget {wait_budget_s:.0f} s): {why}")
-            print(json.dumps({
+            print(json.dumps(_attach_last_success({
                 "metric": "sustained_e2e", "value": 0,
                 "unit": "Msamples/s/chip", "vs_baseline": 0,
                 "error": "tpu tunnel wedged: no device contact in "
                          f"{waited:.0f} s pre-flight window",
-            }), flush=True)
+            })), flush=True)
             os._exit(3)
         log(f"bench.py: tunnel probe {attempt} failed ({why}); retrying "
             f"({waited:.0f}/{wait_budget_s:.0f} s used)")
@@ -137,12 +137,12 @@ def main() -> None:
         # perf regression or an empty record
         import json
 
-        print(json.dumps({
+        print(json.dumps(_attach_last_success({
             "metric": "sustained_e2e", "value": 0,
             "unit": "Msamples/s/chip", "vs_baseline": 0,
             "error": "tpu tunnel wedged: no device contact before "
                      f"{watchdog_s:.0f} s watchdog",
-        }), flush=True)
+        })), flush=True)
         os._exit(3)
 
     timer = threading.Timer(watchdog_s, _watchdog)
@@ -492,12 +492,48 @@ def main() -> None:
         f"/batch ({new_per_batch/t_f/1e6:.0f} Msamples/s e2e)")
 
     timer.cancel()
-    print(json.dumps({
+    record = {
         "metric": "sustained_e2e",
         "value": round(sustained / 1e6, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sustained / CPU_BASELINE_SAMPLES_PER_S, 2),
-    }))
+    }
+    _save_last_success(record)
+    print(json.dumps(record))
+
+
+def _last_success_path() -> str:
+    import os
+
+    return os.path.expanduser("~/.cache/dump1090_tpu/bench_last.json")
+
+
+def _save_last_success(record: dict) -> None:
+    import os
+
+    try:
+        path = _last_success_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dict(record, measured_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())), f)
+    except OSError:
+        pass
+
+
+def _attach_last_success(record: dict) -> dict:
+    """On an outage record, point at the most recent SUCCESSFUL measurement
+    (explicitly marked stale) so a wedged capture window doesn't erase the
+    known steady-state number."""
+    try:
+        with open(_last_success_path()) as f:
+            last = json.load(f)
+        record["last_successful"] = {
+            "value": last.get("value"), "unit": last.get("unit"),
+            "measured_at": last.get("measured_at"), "stale": True,
+        }
+    except (OSError, ValueError):
+        pass
+    return record
 
 
 if __name__ == "__main__":
