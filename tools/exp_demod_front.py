@@ -191,6 +191,7 @@ VARIANTS = {
     "v1": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=False, algebra=False),
     "v2": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=True, algebra=False),
     "v3": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=False, algebra=True),
+    "v4": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=True, algebra=True),
 }
 
 
