@@ -288,23 +288,36 @@ def compact_positions(mask: jax.Array, max_candidates: int, scan_len: int) -> ja
     """Indices of set mask positions, ascending, padded with `scan_len`.
 
     Hierarchical compaction — the FIRST max_candidates hits in scan order,
-    like the reference's left-to-right walk.  Levels (engaged when the static
-    sizes allow): bit-pack runs of 8 positions into group bytes; mark
-    supergroups of 8 groups; top_k the (128x smaller) supergroup array by
-    index; fetch each selected supergroup's 8 group bytes with a one-hot
-    bf16 matmul (an MXU gather — measured free vs 1 ms for a top_k over all
-    16K groups); top_k the surviving groups; expand bytes to positions and
-    top_k the remainder.  Every selected container holds >= 1 hit, so the
-    first-K property is preserved at each level.  ~12x faster than a flat
-    top_k over all scan positions (itself ~10x faster than the
-    cumsum+scatter lowering of jnp.nonzero)."""
+    like the reference's left-to-right walk.  Bit-packs runs of 8 positions
+    into group bytes, then compacts at the byte level
+    (compact_positions_from_bytes)."""
     n_pos = mask.shape[0]
     n_grp = -(-n_pos // 8)
-    n_sup = -(-n_grp // 8)
     padded = jnp.zeros(n_grp * 8, dtype=jnp.int32)
     padded = lax.dynamic_update_slice(padded, mask.astype(jnp.int32), (0,))
     bits = padded.reshape(n_grp, 8)
     byte = jnp.bitwise_or.reduce(bits << (7 - jnp.arange(8, dtype=jnp.int32)), axis=1)
+    return compact_positions_from_bytes(byte, max_candidates, scan_len)
+
+
+def compact_positions_from_bytes(
+    byte: jax.Array, max_candidates: int, scan_len: int
+) -> jax.Array:
+    """compact_positions entered at the packed group-byte level: int32[n_grp]
+    bytes (bit 7 = first position of the group) -> first max_candidates set
+    positions ascending, padded with `scan_len`.
+
+    Levels (engaged when the static sizes allow): mark supergroups of 8
+    groups; top_k the (128x smaller) supergroup array by index; fetch each
+    selected supergroup's 8 group bytes with a one-hot bf16 matmul (an MXU
+    gather — measured free vs 1 ms for a top_k over all 16K groups); top_k
+    the surviving groups; expand bytes to positions and top_k the remainder.
+    Every selected container holds >= 1 hit, so the first-K property is
+    preserved at each level.  ~12x faster than a flat top_k over all scan
+    positions (itself ~10x faster than the cumsum+scatter lowering of
+    jnp.nonzero)."""
+    n_grp = byte.shape[0]
+    n_sup = -(-n_grp // 8)
 
     if max_candidates <= n_sup:
         # level 0: first MC non-empty supergroups (64 positions each)
@@ -339,9 +352,11 @@ def compact_positions(mask: jax.Array, max_candidates: int, scan_len: int) -> ja
         vals, _ = lax.top_k(score, max_candidates)
     else:
         # degenerate (tiny shards): flat top_k over positions
+        t8 = jnp.arange(8, dtype=jnp.int32)
+        flat_bits = ((byte[:, None] >> (7 - t8[None, :])) & 1).reshape(-1)
         pi = lax.iota(jnp.int32, n_grp * 8)
         k = min(max_candidates, n_grp * 8)
-        fscore = jnp.where(padded > 0, -pi, jnp.int32(-(2**30)))
+        fscore = jnp.where(flat_bits > 0, -pi, jnp.int32(-(2**30)))
         fvals, _ = lax.top_k(fscore, k)
         fpos = jnp.minimum(-fvals, jnp.int32(scan_len))
         return jnp.concatenate(
@@ -359,6 +374,145 @@ def compact_positions(mask: jax.Array, max_candidates: int, scan_len: int) -> ja
     pscore = jnp.where(hit & (pos < scan_len), -pos, jnp.int32(-(2**30)))
     pvals, _ = lax.top_k(pscore.reshape(-1), max_candidates)
     return jnp.minimum(-pvals, jnp.int32(scan_len))
+
+
+def preamble_bytes(
+    m: jax.Array, scan_len: int, *, algebra: bool = True, mxu: bool = False
+) -> jax.Array:
+    """Byte-packed preamble predicate for one row: int32[ceil(scan_len/8)].
+
+    Single-evaluation alternative to preamble_mask feeding multiple
+    consumers: the 15-tap predicate (dump1090.c:1602-1650) is evaluated over
+    the zero-padded group domain directly and materialized exactly ONCE as
+    packed group bytes — `n` falls out as popcount and compaction enters at
+    compact_positions_from_bytes, so XLA never re-derives the taps per
+    consumer (the mask form re-reads m for each of its three consumers:
+    mask.sum, the bit-pack, and the zero-pad copy).
+
+    algebra=True shares pairwise subexpressions across taps: one gt/lt
+    compare array, a 2-/4-wide running max serving the s3..s6-vs-s0 and the
+    quiet-tail tests, one pair-sum feeding `high` — ~2.4x fewer vector ops
+    than the direct 15-slice form (algebra=False).  mxu=True packs bits into
+    bytes via a bf16 one-hot matmul instead of shift/or (exact: one-hot x
+    bits).  All four combinations are bit-identical to the mask form
+    (tools/exp_demod_front.py --check; test_demod packed-front tests).
+
+    Requires len(m) >= ceil(scan_len/8)*8 + 17, which every caller geometry
+    satisfies: a buffer carries FULL_LEN_SAMPLES = 240 real samples past its
+    last scan position (dump1090.c:1593)."""
+    n_grp = -(-scan_len // 8)
+    n_pad = n_grp * 8
+    if m.shape[0] < n_pad + 17:
+        raise ValueError(
+            f"preamble_bytes: row of {m.shape[0]} samples cannot cover "
+            f"{scan_len} scan positions (needs >= {n_pad + 17})"
+        )
+
+    if not algebra:
+        def s(k: int) -> jax.Array:
+            return lax.dynamic_slice_in_dim(m, k, n_pad).astype(jnp.int32)
+
+        c = (
+            (s(0) > s(1)) & (s(1) < s(2)) & (s(2) > s(3)) & (s(3) < s(0))
+            & (s(4) < s(0)) & (s(5) < s(0)) & (s(6) < s(0))
+            & (s(7) > s(8)) & (s(8) < s(9)) & (s(9) > s(6))
+        )
+        high = (s(0) + s(2) + s(7) + s(9)) // 6
+        c &= (s(4) < high) & (s(5) < high)
+        c &= (s(11) < high) & (s(12) < high) & (s(13) < high) & (s(14) < high)
+    else:
+        # Shared subexpressions, each built once and tapped shifted.  Max tap
+        # offset is 11 (mm2), and mm2 reaches 2 further into mm, so build
+        # over n_pad + 16 positions: the jnp.roll wraparound garbage then
+        # lives beyond every tap (and sb(1) stays in bounds per the length
+        # precondition above).
+        nb = n_pad + 16
+
+        def sb(k: int) -> jax.Array:
+            return lax.dynamic_slice_in_dim(m, k, nb).astype(jnp.int32)
+
+        a0, a1 = sb(0), sb(1)
+        gt = a0 > a1                      # gt[j]  = m[j] >  m[j+1]
+        lt = a0 < a1                      # lt[j]  = m[j] <  m[j+1]
+        mm = jnp.maximum(a0, a1)          # mm[j]  = max(m[j], m[j+1])
+        mm2 = jnp.maximum(mm, jnp.roll(mm, -2))   # max(m[j..j+3]), j < nb-2
+        q = a0 + jnp.roll(a0, -2)         # m[j] + m[j+2], j < nb-2
+
+        def tap(arr: jax.Array, k: int) -> jax.Array:
+            return lax.dynamic_slice_in_dim(arr, k, n_pad)
+
+        high = (tap(q, 0) + tap(q, 7)) // 6
+        c = (
+            tap(gt, 0) & tap(lt, 1) & tap(gt, 2)
+            & (tap(mm2, 3) < tap(a0, 0))          # s3..s6 all < s0
+            & tap(gt, 7) & tap(lt, 8)
+            & (tap(a0, 9) > tap(a0, 6))           # s9 > s6
+            & (tap(mm, 4) < high)                 # s4, s5 < high
+            & (tap(mm2, 11) < high)               # s11..s14 < high
+        )
+    c &= lax.iota(jnp.int32, n_pad) < scan_len
+
+    bits = c.reshape(n_grp, 8)
+    if mxu:
+        w = (1 << (7 - jnp.arange(8))).astype(jnp.bfloat16)
+        return jnp.dot(
+            bits.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+    return jnp.bitwise_or.reduce(
+        bits.astype(jnp.int32) << (7 - jnp.arange(8, dtype=jnp.int32)), axis=1
+    )
+
+
+def front_packed(
+    m: jax.Array, scan_len: int, max_candidates: int,
+    *, algebra: bool = True, mxu: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(n, pos) for one magnitude row via the byte-packed predicate."""
+    byte = preamble_bytes(m, scan_len, algebra=algebra, mxu=mxu)
+    n = lax.population_count(byte).sum().astype(jnp.int32)
+    pos = compact_positions_from_bytes(byte, max_candidates, scan_len)
+    return n, pos
+
+
+def front_variant() -> str:
+    """Selected demod front-half formulation for demod_batch.
+
+    'mask' — preamble_mask + compact_positions (the round-1..3 form);
+    'packed[-plain][-mxu]' — single-evaluation preamble_bytes
+    (-plain disables the algebraic subexpression reuse, -mxu packs via a
+    bf16 one-hot matmul).  All bit-identical; default 'mask' until the
+    packed variants are chip-timed (tools/exp_demod_front.py --time).
+    Override with DUMP1090_TPU_FRONT (read at TRACE time — set it before
+    the first demod dispatch)."""
+    import os
+
+    return os.environ.get("DUMP1090_TPU_FRONT", "mask")
+
+
+def front_candidates(
+    m2d: jax.Array, scan_len: int, max_candidates: int, front: str | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Batched front half: magnitudes (B, S) -> (n int32[B], pos int32[B, MC])
+    in the formulation named by `front` (None -> front_variant())."""
+    if front is None:
+        front = front_variant()
+    if front == "mask":
+        mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m2d)
+        n = mask.sum(axis=1).astype(jnp.int32)
+        pos = jax.vmap(
+            lambda r: compact_positions(r, max_candidates, scan_len)
+        )(mask)
+        return n, pos
+    tokens = front.split("-")
+    if tokens[0] != "packed" or not set(tokens[1:]) <= {"plain", "mxu"}:
+        raise ValueError(f"unknown demod front variant: {front!r}")
+    algebra = "plain" not in tokens
+    mxu = "mxu" in tokens
+    return jax.vmap(
+        lambda r: front_packed(
+            r, scan_len, max_candidates, algebra=algebra, mxu=mxu
+        )
+    )(m2d)
 
 
 def use_pallas_gather() -> bool:

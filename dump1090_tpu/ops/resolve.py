@@ -927,9 +927,10 @@ _use_pallas_resolve = use_device_resolve  # internal alias
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scan_len", "max_candidates")
+    jax.jit, static_argnames=("scan_len", "max_candidates", "front")
 )
-def _group_front(xg, *, scan_len: int, max_candidates: int):
+def _group_front(xg, *, scan_len: int, max_candidates: int,
+                 front: str | None = None):
     """Program A of the two-program group pipeline: magnitudes + preamble
     predicate + position compaction for every batch of the group.
 
@@ -939,18 +940,16 @@ def _group_front(xg, *, scan_len: int, max_candidates: int):
     HBM traffic that optimization_barrier does NOT recover (measured); a
     real program boundary forces `m` to materialize once (8.7 -> 7.2
     ms/batch for the full demod+precompute+scan chain).  Outputs stay on
-    the device for program B."""
+    the device for program B.
+
+    `front` picks the preamble-scan formulation (ops.demod.front_variant;
+    every choice bit-identical)."""
+    from ..ops.demod import front_candidates
     from ..ops.magnitude import magnitude_from_iq
 
     def per_batch(xb):
-        from ..ops.demod import compact_positions, preamble_mask
-
         m = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(xb)
-        mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m)
-        n = mask.sum(axis=1).astype(jnp.int32)
-        pos = jax.vmap(
-            lambda r: compact_positions(r, max_candidates, scan_len)
-        )(mask)
+        n, pos = front_candidates(m, scan_len, max_candidates, front)
         return m, n, pos
 
     return lax.scan(lambda c, xb: (c, per_batch(xb)), 0, xg)[1]

@@ -64,15 +64,20 @@ def overlapping_buffers(iq: np.ndarray) -> np.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scan_len", "max_candidates", "pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("scan_len", "max_candidates", "pallas", "front")
+)
 def demod_batch(
     iq_buffers: jax.Array, *, scan_len: int, max_candidates: int,
-    pallas: bool | None = None,
+    pallas: bool | None = None, front: str | None = None,
 ) -> Candidates:
     """Batched demodulation of (N, nbytes) uint8 IQ buffers — the single-chip
     throughput path and, with a sharded input, the data-parallel multi-chip
-    path (shard the N axis; XLA partitions everything else automatically)."""
-    from ..ops.demod import candidate_passes_window, gather_candidate_windows, use_pallas_gather
+    path (shard the N axis; XLA partitions everything else automatically).
+
+    `front` selects the preamble-scan formulation (ops.demod.front_variant;
+    all choices bit-identical)."""
+    from ..ops.demod import candidate_passes_window, front_candidates, gather_candidate_windows, use_pallas_gather
 
     if pallas is None:
         pallas = use_pallas_gather()
@@ -84,9 +89,7 @@ def demod_batch(
     # work is where XLA's pipelining beats hand-written kernels; Pallas
     # only wins here for the candidate-window gather below.
     m = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(iq_buffers)
-    mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m)
-    n = mask.sum(axis=1).astype(jnp.int32)
-    pos = jax.vmap(lambda r: compact_positions(r, max_candidates, scan_len))(mask)
+    n, pos = front_candidates(m, scan_len, max_candidates, front)
     w = gather_candidate_windows(m, pos, pallas=pallas)
     outs = jax.vmap(jax.vmap(candidate_passes_window))(w, pos)
     return Candidates(n, pos, *outs)

@@ -118,6 +118,46 @@ def test_demod_block_candidate_compaction():
     assert (np.asarray(cand.pos[3:]) == 2000 - FULL_LEN_SAMPLES).all()
 
 
+def test_compact_positions_degenerate_level():
+    """max_candidates > n_grp engages the flat per-position top_k inside
+    compact_positions_from_bytes (tiny-shard geometry); result must equal
+    plain nonzero + pad."""
+    rng = np.random.default_rng(3)
+    for scan_len in (5, 40, 97):
+        mask = rng.random(scan_len) < 0.3
+        mc = scan_len + 7  # > n_grp*? ensures the degenerate branch for small scan_len
+        got = np.asarray(D.compact_positions(jnp.asarray(mask), mc, scan_len))
+        want = np.flatnonzero(mask)
+        assert list(got[: len(want)]) == list(want)
+        assert (got[len(want):] == scan_len).all()
+
+
+def test_demod_batch_front_variants_identical():
+    """Every front formulation (mask / packed / packed-mxu / packed-plain /
+    packed-plain-mxu) must produce bit-identical Candidates on real traffic
+    and on dense noise (which stresses the padded tail + empty groups)."""
+    from dump1090_tpu.constants import BUF_SAMPLES
+    from dump1090_tpu.parallel.sharding import demod_batch, overlapping_buffers
+
+    raw = np.fromfile("/root/reference/testfiles/modes1.bin", np.uint8)
+    pad = np.full(476, 127, np.uint8)
+    bufs = overlapping_buffers(np.concatenate([pad, raw]))[:2]
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (1, bufs.shape[1]), np.uint8)
+    iq = jnp.asarray(np.concatenate([bufs, noise]))
+
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+    base = demod_batch(iq, scan_len=scan_len, max_candidates=256, front="mask")
+    for front in ("packed", "packed-mxu", "packed-plain", "packed-plain-mxu"):
+        got = demod_batch(iq, scan_len=scan_len, max_candidates=256, front=front)
+        for name, a, b in zip(base._fields, base, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{front}:{name}"
+            )
+    with pytest.raises(ValueError):
+        demod_batch(iq, scan_len=scan_len, max_candidates=256, front="bogus")
+
+
 def test_pipeline_overflow_retry():
     """A buffer denser than max_candidates preambles is redone with more
     headroom instead of silently truncating (pipeline._resolve)."""

@@ -8,16 +8,21 @@ single-evaluation bound is ~0.7 ms — the 15-tap preamble predicate
 bit-pack inside compact_positions, and its zero-padding copy), and XLA
 re-evaluates the taps per consumer instead of materializing the bool mask.
 
-Variants (all must be bit-identical to v0 on real traffic + noise):
-  v0  current demod_batch front half (baseline)
-  v1  single-evaluation: pack group bytes as the predicate's ONLY consumer,
-      derive n = popcount(bytes), skip the zero-pad copy (predicate computed
-      directly over the padded domain, masked by position)
+Variants (all must be bit-identical to v0 on real traffic + noise; the
+implementations are the production ones in ops/demod.py, selected by the
+front_candidates name in parentheses):
+  v0  demod_batch's default front half ("mask")
+  v1  single-evaluation ("packed-plain"): pack group bytes as the
+      predicate's ONLY consumer, derive n = popcount(bytes), skip the
+      zero-pad copy (predicate computed directly over the padded domain,
+      masked by position)
   v2  v1 with the bit-pack as a bf16 one-hot-weights MXU matmul
-  v3  algebraic-reuse predicate: shared pairwise compare arrays (gt/lt),
-      shared 2-/4-wide running max (mm/mm2) serving the s3..s6-vs-s0,
-      s4/s5-vs-high and s11..s14-vs-high terms, shared pair-sum q for high;
-      packed like v1
+      ("packed-plain-mxu")
+  v3  algebraic-reuse predicate ("packed"): shared pairwise compare arrays
+      (gt/lt), shared 2-/4-wide running max (mm/mm2) serving the
+      s3..s6-vs-s0, s4/s5-vs-high and s11..s14-vs-high terms, shared
+      pair-sum q for high; packed like v1
+  v4  v3 + the MXU bit-pack ("packed-mxu")
 
 Usage:
   python tools/exp_demod_front.py --check          # CPU bit-exactness
@@ -41,157 +46,27 @@ FIXTURE = Path("/root/reference/testfiles/modes1.bin")
 
 
 # ---------------------------------------------------------------------------
-# variant front halves: m (uint16[N,S]) -> (n int32[N], pos int32[N,MC])
+# variant front halves: m (uint16[N,S]) -> (n int32[N], pos int32[N,MC]).
+# The implementations live in ops/demod.py (front_candidates and friends) —
+# this harness only names and times them, so --time drives the exact
+# production graphs.
 # ---------------------------------------------------------------------------
 
-def _compact_from_bytes(byte, max_candidates: int, scan_len: int):
-    """compact_positions' levels, entered at the packed group-byte array
-    (ops/demod.py:301-361 keeps the byte build fused with its own mask
-    consumer; here the bytes arrive precomputed)."""
-    import jax.numpy as jnp
-    from jax import lax
+def _front(name):
+    def run(m, sl, mc):
+        from dump1090_tpu.ops.demod import front_candidates
 
-    n_grp = byte.shape[0]
-    n_sup = -(-n_grp // 8)
+        return front_candidates(m, sl, mc, name)
 
-    if max_candidates <= n_sup:
-        bpad = jnp.zeros(n_sup * 8, jnp.int32)
-        bpad = lax.dynamic_update_slice(bpad, byte, (0,))
-        b8 = bpad.reshape(n_sup, 8)
-        si = lax.iota(jnp.int32, n_sup)
-        sscore = jnp.where((b8 > 0).any(axis=1), -si, jnp.int32(-(2**30)))
-        svals, _ = lax.top_k(sscore, max_candidates)
-        ssel = -svals
-        valid_s = ssel < n_sup
-        ssel_c = jnp.where(valid_s, ssel, 0)
-        oh = (ssel_c[:, None] == si[None, :]) & valid_s[:, None]
-        gbytes = jnp.dot(
-            oh.astype(jnp.bfloat16), b8.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        t8 = jnp.arange(8, dtype=jnp.int32)
-        gidx = ssel_c[:, None] * 8 + t8[None, :]
-        gscore = jnp.where(
-            (gbytes > 0) & valid_s[:, None],
-            -(gidx * 256 + 255 - gbytes), jnp.int32(-(2**30)),
-        ).reshape(-1)
-        vals, _ = lax.top_k(gscore, max_candidates)
-    else:
-        gi = lax.iota(jnp.int32, n_grp)
-        score = jnp.where(byte > 0, -(gi * 256 + 255 - byte), jnp.int32(-(2**30)))
-        vals, _ = lax.top_k(score, max_candidates)
-
-    v = -vals
-    grp = v // 256
-    gbyte = jnp.where(v < 2**30 - 1, 255 - (v % 256), 0)
-    t = jnp.arange(8, dtype=jnp.int32)
-    hit = ((gbyte[:, None] >> (7 - t[None, :])) & 1) > 0
-    pos = grp[:, None] * 8 + t[None, :]
-    pscore = jnp.where(hit & (pos < scan_len), -pos, jnp.int32(-(2**30)))
-    pvals, _ = lax.top_k(pscore.reshape(-1), max_candidates)
-    return jnp.minimum(-pvals, jnp.int32(scan_len))
-
-
-def front_v0(m, scan_len: int, mc: int):
-    import jax
-    import jax.numpy as jnp
-
-    from dump1090_tpu.ops.demod import compact_positions, preamble_mask
-
-    mask = jax.vmap(lambda r: preamble_mask(r, scan_len))(m)
-    n = mask.sum(axis=1).astype(jnp.int32)
-    pos = jax.vmap(lambda r: compact_positions(r, mc, scan_len))(mask)
-    return n, pos
-
-
-def _predicate_padded(m, scan_len: int, n_pad: int, algebra: bool):
-    """Preamble predicate over n_pad >= scan_len positions (tail forced 0).
-
-    n_pad must satisfy n_pad + 15 <= len(m), which holds for the group
-    geometry (m carries FULL_LEN_SAMPLES = 240 samples beyond scan_len)."""
-    import jax.numpy as jnp
-    from jax import lax
-
-    def s(k: int):
-        return lax.dynamic_slice_in_dim(m, k, n_pad).astype(jnp.int32)
-
-    if not algebra:
-        c = (
-            (s(0) > s(1)) & (s(1) < s(2)) & (s(2) > s(3)) & (s(3) < s(0))
-            & (s(4) < s(0)) & (s(5) < s(0)) & (s(6) < s(0))
-            & (s(7) > s(8)) & (s(8) < s(9)) & (s(9) > s(6))
-        )
-        high = (s(0) + s(2) + s(7) + s(9)) // 6
-        c &= (s(4) < high) & (s(5) < high)
-        c &= (s(11) < high) & (s(12) < high) & (s(13) < high) & (s(14) < high)
-    else:
-        # shared subexpressions; each builds once and is tapped shifted.
-        # Max tap offset is 11 (mm2) and mm2 itself reaches 2 further into
-        # mm, so build over n_pad + 16 positions: the jnp.roll wraparound
-        # garbage then lives beyond every tap.  m carries 240 samples past
-        # scan_len >= n_pad - 7, so sb(1) below stays in bounds.
-        nb = n_pad + 16
-
-        def sb(k: int):
-            return lax.dynamic_slice_in_dim(m, k, nb).astype(jnp.int32)
-
-        a0, a1 = sb(0), sb(1)
-        gt = a0 > a1                      # gt[j]  = m[j] >  m[j+1]
-        lt = a0 < a1                      # lt[j]  = m[j] <  m[j+1]
-        mm = jnp.maximum(a0, a1)          # mm[j]  = max(m[j], m[j+1])
-        mm2 = jnp.maximum(mm, jnp.roll(mm, -2))   # max(m[j..j+3]) for j<nb-2
-        q = a0 + jnp.roll(a0, -2)         # m[j] + m[j+2] for j < nb-2
-
-        def tap(arr, k: int):
-            return lax.dynamic_slice_in_dim(arr, k, n_pad)
-
-        high = (tap(q, 0) + tap(q, 7)) // 6
-        c = (
-            tap(gt, 0) & tap(lt, 1) & tap(gt, 2)
-            & (tap(mm2, 3) < tap(a0, 0))          # s3..s6 all < s0
-            & (tap(gt, 7)) & (tap(lt, 8))
-            & (tap(a0, 9) > tap(a0, 6))           # s9 > s6
-            & (tap(mm, 4) < high)                 # s4, s5 < high
-            & (tap(mm2, 11) < high)               # s11..s14 < high
-        )
-    iota = lax.iota(jnp.int32, n_pad)
-    return c & (iota < scan_len)
-
-
-def _front_packed(m, scan_len: int, mc: int, *, mxu: bool, algebra: bool):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    n_grp = -(-scan_len // 8)
-    n_pad = n_grp * 8
-
-    def one(row):
-        c = _predicate_padded(row, scan_len, n_pad, algebra)
-        bits = c.reshape(n_grp, 8)
-        if mxu:
-            w = (1 << (7 - jnp.arange(8))).astype(jnp.bfloat16)
-            byte = jnp.dot(
-                bits.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-            ).astype(jnp.int32)
-        else:
-            byte = jnp.bitwise_or.reduce(
-                bits.astype(jnp.int32) << (7 - jnp.arange(8, dtype=jnp.int32)),
-                axis=1,
-            )
-        n = lax.population_count(byte).sum().astype(jnp.int32)
-        pos = _compact_from_bytes(byte, mc, scan_len)
-        return n, pos
-
-    return jax.vmap(one)(m)
+    return run
 
 
 VARIANTS = {
-    "v0": front_v0,
-    "v1": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=False, algebra=False),
-    "v2": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=True, algebra=False),
-    "v3": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=False, algebra=True),
-    "v4": lambda m, sl, mc: _front_packed(m, sl, mc, mxu=True, algebra=True),
+    "v0": _front("mask"),
+    "v1": _front("packed-plain"),
+    "v2": _front("packed-plain-mxu"),
+    "v3": _front("packed"),
+    "v4": _front("packed-mxu"),
 }
 
 
