@@ -50,6 +50,9 @@ python tools/fuzz_diff.py --ref "$REF" --n 10 --seed 13 --mode nofix
 python tools/fuzz_diff.py --ref "$REF" --n 10 --seed 14 --mode verbose
 python tools/fuzz_diff.py --ref "$REF" --n 6 --seed 15 --mode device
 python tools/fuzz_diff.py --ref "$REF" --n 6 --seed 16 --mode sharded-device
+# the packed demod front (DUMP1090_TPU_FRONT) must stay bit-identical
+DUMP1090_TPU_FRONT=packed python tools/fuzz_diff.py --ref "$REF" --n 4 \
+    --seed 17 --mode device
 
 echo "== network hex-grammar fuzz (raw relay + SBS + stdout) =="
 python tools/fuzz_hex.py --ref "$REF" --n 300 --rounds 2 --seed 21

@@ -22,6 +22,9 @@ timeout 3000 python bench.py
 echo "== 3. front-half experiment timings =="
 timeout 1800 python tools/exp_demod_front.py --time
 
+echo "== 3b. headline A/B under the packed front (pick the winner) =="
+DUMP1090_TPU_FRONT=packed timeout 3000 python bench.py
+
 if [ "$1" != "--fast" ]; then
     echo "== 4. real-TPU suite =="
     DUMP1090_TEST_TPU=1 timeout 3600 python -m pytest tests/ -q
