@@ -58,7 +58,7 @@ def make_df17(rng: np.random.Generator, addr: int | None = None) -> bytes:
 
 
 def make_short_ap(rng: np.random.Generator, addr: int, df: int) -> bytes:
-    """A 7-byte DF0/4/5 frame whose Address/Parity field targets ``addr`` —
+    """A 7-byte DF0/4/5/24 frame whose Address/Parity field targets ``addr`` —
     accepted iff addr is in the ICAO cache (bruteForceAP, dump1090.c:942)."""
     head = bytes([df << 3]) + rng.integers(0, 256, 3, dtype=np.uint8).tobytes()
     crc = _crc(head + b"\x00\x00\x00", 56)
@@ -67,7 +67,7 @@ def make_short_ap(rng: np.random.Generator, addr: int, df: int) -> bytes:
 
 
 def make_long_ap(rng: np.random.Generator, addr: int, df: int) -> bytes:
-    """A 14-byte DF20/21 frame AP-keyed to ``addr`` (long bruteForceAP
+    """A 14-byte DF16/20/21 frame AP-keyed to ``addr`` (long bruteForceAP
     branch, dump1090.c:955-960); carries a random MB field."""
     head = (bytes([df << 3])
             + rng.integers(0, 256, 10, dtype=np.uint8).tobytes())
@@ -106,11 +106,12 @@ def gen_stream(rng: np.random.Generator, n: int) -> bytes:
             out.append(hexline(bytes(f), rng))
         elif r < 60 and cached:  # AP-keyed frame targeting a cached address
             addr = cached[int(rng.integers(0, len(cached)))]
-            if rng.integers(0, 3):  # short DF0/4/5
-                df = int(rng.choice([0, 4, 5]))
+            if rng.integers(0, 3):  # short DF0/4/5/24 (DF24 = Comm-C ELM,
+                # 56 bits per modesMessageLenByType, dump1090.c:746-753)
+                df = int(rng.choice([0, 4, 5, 24]))
                 out.append(hexline(make_short_ap(rng, addr, df), rng))
-            else:  # long DF20/21 (Comm-B, long bruteForceAP branch)
-                df = int(rng.choice([20, 21]))
+            else:  # long DF16/20/21 (air-air + Comm-B bruteForceAP branch)
+                df = int(rng.choice([16, 20, 21]))
                 out.append(hexline(make_long_ap(rng, addr, df), rng))
         elif r < 68:  # short frame AP-keyed to an UNcached address (reject)
             out.append(hexline(make_short_ap(
