@@ -57,6 +57,9 @@ HELP = """\
 --tpu-shard-time <n>     Shard each buffer's timeline over <n> devices with
                          overlap-save halo exchange (multi-chip decode of
                          one stream; bit-identical to the unsharded path).
+--tpu-front <name>       Preamble-scan formulation: mask (default) or
+                         packed[-plain][-mxu].  All bit-identical; see
+                         ops/demod.py:front_variant.
 
 Debug mode flags: d = Log frames decoded with errors
                   D = Log frames decoded with zero errors
@@ -219,6 +222,21 @@ def parse_args(argv: list[str]) -> Options:
             o.backend = nxt()
         elif arg == "--tpu-shard-time" and more:
             o.shard_time = int(nxt())
+        elif arg == "--tpu-front" and more:
+            # validate eagerly (front_candidates would only throw at trace
+            # time, deep inside the first dispatch)
+            v = nxt()
+            toks = v.split("-")
+            if not (v == "mask" or (toks[0] == "packed"
+                                    and set(toks[1:]) <= {"plain", "mxu"})):
+                sys.stderr.write(
+                    f"--tpu-front: expected mask|packed[-plain][-mxu], got "
+                    f"'{v}'.\n"
+                )
+                raise SystemExit(1)
+            import os
+
+            os.environ["DUMP1090_TPU_FRONT"] = v
         elif arg == "--tpu-device-resolve" and more:
             o.device_resolve = nxt()
             if o.device_resolve not in ("on", "off", "auto"):

@@ -82,6 +82,17 @@ def test_raw_output_byte_exact(golden_dir, modes1_path):
     assert r.stdout.decode() == (golden_dir / "golden_raw.txt").read_text()
 
 
+def test_tpu_front_flag(golden_dir, modes1_path):
+    """--tpu-front selects the packed preamble-scan formulation; the raw
+    stream stays byte-exact, and a bad value errors eagerly at parse time."""
+    r = run_cli(["--ifile", str(modes1_path), "--raw", "--tpu-front", "packed"])
+    assert r.returncode == 0
+    assert r.stdout.decode() == (golden_dir / "golden_raw.txt").read_text()
+    bad = run_cli(["--ifile", str(modes1_path), "--raw", "--tpu-front", "bogus"])
+    assert bad.returncode == 1
+    assert b"--tpu-front: expected" in bad.stderr
+
+
 def test_raw_fast_path_equals_hub_path(modes1_path):
     """--raw via stream_records must equal --raw forced through the
     per-message hub path (DUMP1090_TPU_NO_NATIVE disables the native
@@ -272,12 +283,18 @@ def test_bind_failure_error_parity():
 def test_sigpipe_kills_like_c(modes1_path):
     """`--raw | head` parity: the reference dies of SIGPIPE when stdout
     closes (only net mode ignores it, dump1090.c:2294); no BrokenPipeError
-    traceback, no decode-to-EOF."""
+    traceback, no decode-to-EOF.
+
+    --loop makes the output endless, so a write() after the reader closes
+    is guaranteed — without it the whole 217-line stream can land in the
+    pipe buffer in one write before the close and the process exits 0
+    legitimately (SIGPIPE only fires on a write AFTER close; seen when a
+    faster demod formulation shifted the flush timing)."""
     import signal
 
     proc = subprocess.Popen(
         [sys.executable, "-m", "dump1090_tpu", "--ifile", str(modes1_path),
-         "--raw"],
+         "--raw", "--loop"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         env={**{k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
              "JAX_PLATFORMS": "cpu"},
