@@ -480,13 +480,17 @@ def front_variant() -> str:
     'mask' — preamble_mask + compact_positions (the round-1..3 form);
     'packed[-plain][-mxu]' — single-evaluation preamble_bytes
     (-plain disables the algebraic subexpression reuse, -mxu packs via a
-    bf16 one-hot matmul).  All bit-identical; default 'mask' until the
-    packed variants are chip-timed (tools/exp_demod_front.py --time).
-    Override with DUMP1090_TPU_FRONT (read at TRACE time — set it before
-    the first demod dispatch)."""
+    bf16 one-hot matmul).  All bit-identical; default 'packed' since the
+    round-4 chip timings (tools/measure.py --probe front, v5e
+    2026-08-19): full demod_batch 1.87 ms/128-buffer batch vs 2.76 for
+    'mask' (and 35.4 vs 78.9 ms/8 buffers on CPU) — the algebraic-reuse
+    packed predicate removes the per-consumer magnitude re-reads that
+    made 'mask' the round-3 headline's biggest tax.  Override with
+    DUMP1090_TPU_FRONT (read at TRACE time — set it before the first
+    demod dispatch)."""
     import os
 
-    return os.environ.get("DUMP1090_TPU_FRONT", "mask")
+    return os.environ.get("DUMP1090_TPU_FRONT", "packed")
 
 
 def front_candidates(
