@@ -50,6 +50,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 CPU_BASELINE_SAMPLES_PER_S = 88e6
+HBM_BYTES_PER_S = 720e9  # v5e HBM bandwidth (CLAUDE.md perf notes)
 FIXTURE = Path("/root/reference/testfiles/modes1.bin")
 
 NB = 128        # reference-geometry buffers per batch (16.8 M samples)
@@ -387,13 +388,13 @@ def main() -> None:
 
     L = 64
     _ = float(jax.device_get(demod_only(x, L)))
-    best = 1e9
+    t_demod = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
         _ = float(jax.device_get(demod_only(x, L)))
-        best = min(best, (time.perf_counter() - t0) / L)
-    log(f"device demod only: {best*1e3:.2f} ms/batch -> "
-        f"{new_per_batch/best/1e6:.0f} Msamples/s")
+        t_demod = min(t_demod, (time.perf_counter() - t0) / L)
+    log(f"device demod only: {t_demod*1e3:.2f} ms/batch -> "
+        f"{new_per_batch/t_demod/1e6:.0f} Msamples/s")
 
     @functools.partial(jax.jit, static_argnames=("L",))
     def fused(x, ca, ct, L):
@@ -416,15 +417,48 @@ def main() -> None:
 
     L = 16
     _ = float(jax.device_get(fused(x, ca, ct, L)[2]))
-    best = 1e9
+    t_fused = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
         _ = float(jax.device_get(fused(x, ca, ct, L)[2]))
-        best = min(best, (time.perf_counter() - t0) / L)
+        t_fused = min(t_fused, (time.perf_counter() - t0) / L)
     log(f"per-batch fused demod+resolve (G=1, jit-inlined, unamortized "
-        f"launch/boundary): {best*1e3:.2f} ms/batch -> "
-        f"{new_per_batch/best/1e6:.0f} Msamples/s (the grouped product path "
+        f"launch/boundary): {t_fused*1e3:.2f} ms/batch -> "
+        f"{new_per_batch/t_fused/1e6:.0f} Msamples/s (the grouped product path "
         f"above runs ~7.2 ms/batch)")
+
+    # ---- speed-of-light fractions (HBM roofline, SURVEY §5) -----------------
+    # Bytes the DESIGN actually moves through HBM per 128-buffer batch, by
+    # stage (VPU work is bandwidth-bound here; the only MXU op, the GF(2)
+    # syndrome matmul, is tiny).  Fraction = roofline-time / measured-time at
+    # the v5e's 720 GB/s — "1.0" would mean the stage streams its traffic at
+    # full HBM bandwidth with zero overhead.
+    S_samp = x.shape[1] // 2
+    by = {
+        "iq_read": NB * S_samp * 2,            # uint8 I,Q pairs
+        "mag_write": NB * S_samp * 2,          # uint16 magnitudes
+        "predicate_read": NB * S_samp * 2,     # packed front: ONE m read
+        "front_out": NB * (S_samp // 8 + MC * 4),   # group bytes + positions
+        "gather": 2 * NB * MC * 256 * 2,       # window read + VMEM->HBM write
+        "pass_read": 2 * NB * MC * 256 * 2,    # both demod passes read windows
+        "cand_out": NB * MC * 48,              # msg/errors/gate fields
+    }
+    demod_bytes = sum(by.values())
+    # resolve adds the syndrome precompute (reads candidate fields, writes
+    # packed words) and the kernel scan (SMEM-resident; HBM side is the
+    # word stream in + emitted frames out)
+    resolve_bytes = NB * MC * (48 + 16) + (MOS * 9 + MOL * 14)
+    sol = {
+        "demod": demod_bytes / HBM_BYTES_PER_S / t_demod,
+        "fused_batch": (demod_bytes + resolve_bytes) / HBM_BYTES_PER_S / t_fused,
+        "sustained_e2e": ((demod_bytes + resolve_bytes) * G * T)
+        / HBM_BYTES_PER_S / wall,
+    }
+    log("speed-of-light (720 GB/s HBM roofline): "
+        + ", ".join(f"{k} {100*v:.1f}%" for k, v in sol.items())
+        + f"; demod moves {demod_bytes/1e6:.0f} MB/batch "
+        f"(floor {demod_bytes/HBM_BYTES_PER_S*1e3:.2f} ms vs measured "
+        f"{t_demod*1e3:.2f} ms)")
 
     # ---- sparse air: resolve tax must be density-proportional --------------
     # Realistic quiet-air density (~3 frames per 65 ms buffer vs modes1's
@@ -497,6 +531,8 @@ def main() -> None:
         "value": round(sustained / 1e6, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sustained / CPU_BASELINE_SAMPLES_PER_S, 2),
+        "sol_fraction": {k: round(v, 4) for k, v in sol.items()},
+        "hbm_gbps": 720,
     }
     _save_last_success(record)
     print(json.dumps(record))
