@@ -63,15 +63,18 @@ def build_stream(snr_db: float, n_frames: int, rng) -> tuple[np.ndarray, list[st
     return stream, hexes
 
 
-def decode_ours(stream: np.ndarray) -> set[str]:
+def decode_ours(stream: np.ndarray, device_resolve: bool = False) -> set[str]:
     from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
 
     p = DemodPipeline(PipelineConfig(batch_buffers=8))
     got = set()
-    p.run(
-        io.BytesIO(stream.tobytes()),
-        lambda mm: got.add(mm.msg.hex()) if mm.crcok else None,
-    )
+    sink = lambda mm: got.add(mm.msg.hex()) if mm.crcok else None
+    if device_resolve:
+        # the PRODUCT TPU path: fused demod + Pallas sequential resolve on
+        # the device (what --raw runs on the chip), not the host oracle
+        p.run_device(io.BytesIO(stream.tobytes()), sink)
+    else:
+        p.run(io.BytesIO(stream.tobytes()), sink)
     return got
 
 
@@ -95,6 +98,10 @@ def main() -> None:
                     help="JAX platform for our decoder (default cpu: the "
                     "sweep is a parity check, and a direct run must not "
                     "silently target — and hang with — the tunneled TPU)")
+    ap.add_argument("--device-resolve", action="store_true",
+                    help="drive the on-device sequential resolver "
+                    "(DemodPipeline.run_device, the path --raw uses on the "
+                    "chip) instead of the host oracle")
     args = ap.parse_args()
 
     import jax
@@ -105,13 +112,18 @@ def main() -> None:
     snrs = [float(s) for s in args.snrs.split(",")]
     have_ref = Path(args.ref).exists()
     rows = []
+    exact_sets = True
     for snr in snrs:
         rng = np.random.default_rng(int(snr * 10) + 12345)
         stream, hexes = build_stream(snr, args.frames, rng)
         planted = set(hexes)
-        ours = len(decode_ours(stream) & planted) / len(planted)
+        got = decode_ours(stream, device_resolve=args.device_resolve)
+        ours = len(got & planted) / len(planted)
         if have_ref:
-            ref = len(decode_reference(stream, args.ref) & planted) / len(planted)
+            ref_got = decode_reference(stream, args.ref)
+            ref = len(ref_got & planted) / len(planted)
+            if got & planted != ref_got & planted:
+                exact_sets = False
             rows.append((snr, ours, ref))
         else:
             rows.append((snr, ours, None))
@@ -121,6 +133,12 @@ def main() -> None:
     for snr, ours, ref in rows:
         r = f"{ref:.1%}" if ref is not None else "n/a"
         print(f"| {snr:g} | {ours:.1%} | {r} |")
+    if have_ref:
+        path = "device resolve" if args.device_resolve else "host resolve"
+        print(f"\nexact recovered-frame SETS identical at every point "
+              f"({path}, backend {jax.default_backend()}): {exact_sets}")
+        if not exact_sets:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
