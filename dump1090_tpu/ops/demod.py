@@ -480,17 +480,24 @@ def front_variant() -> str:
     'mask' — preamble_mask + compact_positions (the round-1..3 form);
     'packed[-plain][-mxu]' — single-evaluation preamble_bytes
     (-plain disables the algebraic subexpression reuse, -mxu packs via a
-    bf16 one-hot matmul).  All bit-identical; default 'packed' since the
-    round-4 chip timings (tools/measure.py --probe front, v5e
-    2026-08-19): full demod_batch 1.87 ms/128-buffer batch vs 2.76 for
-    'mask' (and 35.4 vs 78.9 ms/8 buffers on CPU) — the algebraic-reuse
-    packed predicate removes the per-consumer magnitude re-reads that
-    made 'mask' the round-3 headline's biggest tax.  Override with
-    DUMP1090_TPU_FRONT (read at TRACE time — set it before the first
-    demod dispatch)."""
+    bf16 one-hot matmul).  All bit-identical.  Default per backend since
+    the round-4 chip verdict (2026-08-19): 'mask' on TPU — the
+    same-process interleaved sustained A/B (the product group protocol,
+    /tmp-style harness now in tools/measure.py --probe ab-sustained) read
+    mask 2015/2065/2069 vs packed 1694/1858/1835 Msamples/s, and bench's
+    perturbed demod-only agreed (mask 4.90 vs packed 5.82 ms/batch);
+    packed's isolated-loop win (1.87 vs 2.76 ms) did not survive the real
+    grouped program.  'packed' on CPU, where it genuinely halves demod
+    time (35.4 vs 78.9 ms/8 buffers).  Override with DUMP1090_TPU_FRONT
+    (read at TRACE time — set it before the first demod dispatch)."""
     import os
 
-    return os.environ.get("DUMP1090_TPU_FRONT", "packed")
+    v = os.environ.get("DUMP1090_TPU_FRONT")
+    if v:
+        return v
+    import jax
+
+    return "mask" if jax.default_backend() == "tpu" else "packed"
 
 
 def front_candidates(

@@ -249,6 +249,66 @@ def probe_front(args):
 
 
 # ---------------------------------------------------------------------------
+# ab-sustained: the decisive front A/B — the real grouped product protocol,
+# interleaved in ONE process so tunnel/chip mood drift hits both variants.
+# (probe_front's isolated loop is LICM-contaminated: packed "won" it 1.87 vs
+# 2.76 ms but LOST the real program — always trust this probe over it.)
+# ---------------------------------------------------------------------------
+
+def probe_ab_sustained(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.constants import (
+        BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES, ICAO_CACHE_LEN,
+    )
+    from dump1090_tpu.models.pipeline import start_d2h
+    from dump1090_tpu.ops.resolve import _group_back, _group_front
+
+    NB, G, W, T, MC, MOS, MOL = args.nb, 12, 2, 6, args.mc, 5632, 9216
+    bufs = load_buffers(W * G * NB)
+    groups = [jax.device_put(jnp.asarray(
+        bufs[g * G * NB:(g + 1) * G * NB].reshape(G, NB, -1)))
+        for g in range(W)]
+    for x in groups:
+        x.block_until_ready()
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+
+    def run_group(x, ca, ct, front):
+        m, n, pos = _group_front(
+            x, scan_len=scan_len, max_candidates=MC, front=front)
+        out = _group_back(
+            m, n, pos, ca, ct, 1_700_000_000, True, False,
+            scan_len=scan_len, max_candidates=MC, max_out=0,
+            max_out_short=MOS, max_out_long=MOL,
+            crcok_only=True, pallas=True, packed=True)
+        start_d2h(out[:6])
+        return out[:6], out[-2], out[-1]
+
+    def sustained(front):
+        ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        pending, tot = None, 0
+        t0 = time.perf_counter()
+        for t in range(T):
+            outs, ca, ct = run_group(groups[t % W], ca, ct, front)
+            if pending is not None:
+                tot += int(jax.device_get(list(pending))[1].sum())
+            pending = outs
+        tot += int(jax.device_get(list(pending))[1].sum())
+        return T * G * NB * BLOCK_SAMPLES / (time.perf_counter() - t0) / 1e6, tot
+
+    fronts = ("mask", "packed")
+    for f in fronts:
+        r, n = sustained(f)
+        log(f"warm {f}: {r:.0f} Ms/s ({n} msgs)")
+    for rep in range(3):
+        for f in fronts:
+            r, _ = sustained(f)
+            log(f"rep{rep} {f}: {r:.0f} Ms/s")
+
+
+# ---------------------------------------------------------------------------
 # stages: per-stage demod breakdown + HBM roofline (from measure_r3c/r3d)
 # ---------------------------------------------------------------------------
 
@@ -434,6 +494,7 @@ PROBES = {
     "steady": probe_steady,
     "scan": probe_scan,
     "front": probe_front,
+    "ab-sustained": probe_ab_sustained,
     "stages": probe_stages,
     "link": probe_link,
     "staged-h2d": probe_staged_h2d,
