@@ -189,6 +189,7 @@ def main() -> None:
     del pa, probe
     log(f"H2D pre-compute (fast window): {h2d_fast/1e9:.2f} GB/s")
 
+    ttfm_s = None
     if FIXTURE.exists() and not os.environ.get("DUMP1090_BENCH_SKIP_COLD"):
         raw0 = np.fromfile(FIXTURE, dtype=np.uint8)
         # one CLI dispatch group = 8 x 64 buffers = 67 M samples, so a
@@ -222,6 +223,7 @@ def main() -> None:
             os.unlink(cold_path)
         total_samples = reps0 * len(raw0) // 2
         steady = (total_samples - samples_at_first) / max(t_end - t_first, 1e-9)
+        ttfm_s = round(t_first - t_open, 1)
         log(f"cold-file (product pipeline, {reps0 * len(raw0) / 1e6:.0f} MB "
             f"from disk, preload+decode): first batch at "
             f"{t_first - t_open:.1f}s (incl. compile+preload), then "
@@ -533,6 +535,7 @@ def main() -> None:
         "vs_baseline": round(sustained / CPU_BASELINE_SAMPLES_PER_S, 2),
         "sol_fraction": {k: round(v, 4) for k, v in sol.items()},
         "hbm_gbps": 720,
+        "ttfm_cold_file_s": ttfm_s,
     }
     _save_last_success(record)
     print(json.dumps(record))

@@ -57,9 +57,16 @@ HELP = """\
 --tpu-shard-time <n>     Shard each buffer's timeline over <n> devices with
                          overlap-save halo exchange (multi-chip decode of
                          one stream; bit-identical to the unsharded path).
---tpu-front <name>       Preamble-scan formulation: mask (default) or
-                         packed[-plain][-mxu].  All bit-identical; see
+--tpu-front <name>       Preamble-scan formulation: mask or
+                         packed[-plain][-mxu] (default: mask on TPU,
+                         packed on CPU).  All bit-identical; see
                          ops/demod.py:front_variant.
+--tpu-preload <m>        auto|staged|off: device preload of regular files
+                         before the first dispatch (auto,
+                         throughput-optimal), one group then the rest
+                         during the first compile (staged,
+                         latency-optimal), or always stream via the
+                         reader thread (off).
 
 Debug mode flags: d = Log frames decoded with errors
                   D = Log frames decoded with zero errors
@@ -116,6 +123,7 @@ class Options:
         self.batch: int | None = None   # buffers per device dispatch
         self.backend: str | None = None
         self.device_resolve = "auto"
+        self.preload = "auto"
         self.shard_time: int | None = None
         self.profile_dir: str | None = None
         self.state_load: str | None = None
@@ -237,6 +245,14 @@ def parse_args(argv: list[str]) -> Options:
             import os
 
             os.environ["DUMP1090_TPU_FRONT"] = v
+        elif arg == "--tpu-preload" and more:
+            o.preload = nxt()
+            if o.preload not in ("auto", "staged", "off"):
+                sys.stderr.write(
+                    f"--tpu-preload: expected auto|staged|off, got "
+                    f"'{o.preload}'.\n"
+                )
+                raise SystemExit(1)
         elif arg == "--tpu-device-resolve" and more:
             o.device_resolve = nxt()
             if o.device_resolve not in ("on", "off", "auto"):
@@ -408,6 +424,7 @@ def main(argv: list[str] | None = None) -> int:
                     8 if dev_batching and not o.interactive
                     and o.filename != "-" else 1
                 ),
+                preload=o.preload,
             ),
             debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
         )

@@ -75,6 +75,15 @@ class PipelineConfig:
     # amortizes per-dispatch/per-fetch round trips for file decode; 1 keeps
     # latency minimal for live feeds.
     dispatch_groups: int = 1
+    # Ingest strategy for regular files (see _ingest_groups): "auto"
+    # preloads files up to PRELOAD_CAP_BYTES to the device before the first
+    # dispatch (throughput-optimal on runtimes whose host->device link
+    # degrades after the first program executes — the tunneled axon
+    # runtime); "staged" uploads one group, dispatches, and uploads the
+    # rest during the first compile (latency-optimal: time-to-first-message
+    # = one group + compile); "off" always streams through the reader
+    # thread.
+    preload: str = "auto"
 
 
 class DemodPipeline:
@@ -542,7 +551,8 @@ class DemodPipeline:
             return jax.device_put(jnp.asarray(xg)), g_real, len(bufs)
 
         preload = False
-        if not self.cfg.loop and self.cfg.throttle_s == 0:
+        if (self.cfg.preload != "off" and not self.cfg.loop
+                and self.cfg.throttle_s == 0):
             try:
                 fileno = stream.fileno() if stream is not None else None
                 if fileno is not None and os.fstat(fileno).st_size <= int(
@@ -553,6 +563,55 @@ class DemodPipeline:
                     preload = True
             except (OSError, AttributeError, ValueError):
                 preload = False
+
+        if preload and self.cfg.preload == "staged":
+            # Staged preload: upload ONE group, yield it (the consumer's
+            # first dispatch starts the 10-50 s program compile), and keep
+            # uploading the rest from a reader thread — measured (v5e,
+            # tools/measure.py --probe staged-h2d): device_put issued
+            # during the first compile runs at the PRE-compute fast-window
+            # rate, so the whole file is usually resident before the first
+            # program finishes.  Time-to-first-message becomes
+            # one-group-upload + compile instead of whole-file-upload +
+            # compile.  The trade: with a WARM compilation cache there is
+            # no compile window to hide the tail uploads, and in slow
+            # post-compute link moods the decode can become ingest-bound —
+            # which is why "auto" keeps the full preload (throughput-first)
+            # and staged is opt-in for latency.
+            q2: queue.Queue = queue.Queue()  # unbounded: reader never blocks
+            stop2 = threading.Event()
+            first_bufs = list(itertools.islice(it, ng * nb))
+            if not first_bufs:
+                return
+            first = make_group(first_bufs)
+
+            def tail_reader():
+                try:
+                    while not stop2.is_set():
+                        bufs = list(itertools.islice(it, ng * nb))
+                        if not bufs:
+                            q2.put(None)
+                            return
+                        q2.put(make_group(bufs))
+                except BaseException as e:  # surfaced on the consumer side
+                    q2.put(e)
+
+            t2 = threading.Thread(
+                target=tail_reader, name="iq-upload-tail", daemon=True
+            )
+            t2.start()
+            try:
+                yield first
+                while True:
+                    item = q2.get()
+                    if item is None:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop2.set()
+            return
 
         if preload:
             staged = []

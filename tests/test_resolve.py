@@ -391,12 +391,36 @@ def test_ingest_strategies_bit_identical(modes1_path, golden_dir, monkeypatch):
     assert "iq-upload" in spawned
     assert p.stats == p2.stats
 
+    # preload="off" (the --tpu-preload escape hatch) -> streaming path even
+    # with the cap back at its default
+    monkeypatch.delenv("DUMP1090_TPU_PRELOAD_BYTES", raising=False)
+    spawned.clear()
+    p3 = DemodPipeline(
+        PipelineConfig(batch_buffers=2, preload="off"), clock=lambda: NOW
+    )
+    with open(modes1_path, "rb") as f:
+        out3 = b"".join(p3.stream_raw_device(f))
+    assert out3 == golden
+    assert "iq-upload" in spawned
+    assert p.stats == p3.stats
+
+    # preload="staged" -> first group synchronous, tail on its own thread
+    spawned.clear()
+    p4 = DemodPipeline(
+        PipelineConfig(batch_buffers=2, preload="staged"), clock=lambda: NOW
+    )
+    with open(modes1_path, "rb") as f:
+        out4 = b"".join(p4.stream_raw_device(f))
+    assert out4 == golden
+    assert "iq-upload-tail" in spawned
+    assert p.stats == p4.stats
+
     # non-seekable source (no usable fileno) -> streaming path too
     import io
 
     spawned.clear()
     raw = open(modes1_path, "rb").read()
-    monkeypatch.delenv("DUMP1090_TPU_PRELOAD_BYTES")
+    monkeypatch.delenv("DUMP1090_TPU_PRELOAD_BYTES", raising=False)
     p3 = DemodPipeline(PipelineConfig(batch_buffers=2), clock=lambda: NOW)
     out3 = b"".join(p3.stream_raw_device(io.BytesIO(raw)))
     assert out3 == golden
