@@ -106,8 +106,12 @@ def main() -> None:
 
     import jax
 
-    # jax.config.update beats the axon sitecustomize; the env var does not
-    jax.config.update("jax_platforms", args.backend)
+    # jax.config.update beats the axon sitecustomize; the env var does not.
+    # "tpu"/"auto" must NOT pin the platform: the tunneled chip registers
+    # through a plugin, and forcing jax_platforms=tpu invokes the stock
+    # libtpu init instead (fails with "no jellyfish device").
+    if args.backend not in ("tpu", "auto"):
+        jax.config.update("jax_platforms", args.backend)
 
     snrs = [float(s) for s in args.snrs.split(",")]
     have_ref = Path(args.ref).exists()
