@@ -231,11 +231,16 @@ def probe_front(args):
 
     scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
     d_iq = jax.device_put(load_buffers(args.nb))
-    L = 16
+    L = 32
     for front in ("mask", "packed-plain", "packed", "packed-mxu"):
         def run(x, front=front):
-            def body(_, acc):
-                c = demod_batch(x, scan_len=scan_len,
+            def body(i, acc):
+                # perturb per iteration or LICM hoists the demod out of
+                # the loop and the numbers are fiction (see ab-sustained)
+                w = lax.bitcast_convert_type(
+                    x.reshape(x.shape[0], -1, 4), jnp.int32)
+                xi = lax.bitcast_convert_type(w + i, jnp.uint8).reshape(x.shape)
+                c = demod_batch(xi, scan_len=scan_len,
                                 max_candidates=args.mc, front=front)
                 s = jnp.int32(0)
                 for f in jax.tree_util.tree_leaves(c):
@@ -330,12 +335,22 @@ def probe_stages(args):
     d_iq = jax.device_put(iq_np)
     nb, nbytes = iq_np.shape
     S = nbytes // 2
-    L = 16
+    L = 32
+
+    def perturb(a, i):
+        # int32-bitcast add on the PRIMARY array input: defeats XLA's
+        # loop-invariant code motion, which otherwise hoists the whole
+        # stage out of the timing loop and leaves only the ~1.5 ms
+        # dispatch floor (observed; same trap as the front probe)
+        per = 4 // a.dtype.itemsize  # uint8 -> 4, uint16 -> 2
+        w = lax.bitcast_convert_type(
+            a.reshape(a.shape[:-1] + (a.shape[-1] // per, per)), jnp.int32)
+        return lax.bitcast_convert_type(w + i, a.dtype).reshape(a.shape)
 
     def timed(name, build, min_bytes):
         def run(*xs):
-            def body(_, acc):
-                out = build(*xs)
+            def body(i, acc):
+                out = build(perturb(xs[0], i), *xs[1:])
                 s = jnp.int32(0)
                 for f in jax.tree_util.tree_leaves(out):
                     s = s + f.astype(jnp.int32).sum()
