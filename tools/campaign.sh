@@ -10,38 +10,8 @@ set -e
 cd "$(dirname "$0")/.."
 REF=${REF:-/tmp/refbuild/dump1090}
 
-if [ ! -x "$REF" ]; then
-    echo "== building reference binary =="
-    mkdir -p "$(dirname "$REF")"
-    BUILD=$(mktemp -d)
-    # same stub-librtlsdr build recipe as tools/make_goldens.sh
-    (
-        cat > "$BUILD/rtl-sdr.h" <<'EOF'
-#include <stdint.h>
-typedef struct rtlsdr_dev rtlsdr_dev_t;
-typedef void (*rtlsdr_read_async_cb_t)(unsigned char *buf, uint32_t len, void *ctx);
-static inline uint32_t rtlsdr_get_device_count(void) { return 0; }
-static inline int rtlsdr_get_device_usb_strings(uint32_t i, char *v, char *p, char *s) { (void)i;(void)v;(void)p;(void)s; return -1; }
-static inline int rtlsdr_open(rtlsdr_dev_t **dev, uint32_t index) { (void)dev;(void)index; return -1; }
-static inline int rtlsdr_close(rtlsdr_dev_t *dev) { (void)dev; return 0; }
-static inline int rtlsdr_set_tuner_gain_mode(rtlsdr_dev_t *d, int m) { (void)d;(void)m; return 0; }
-static inline int rtlsdr_set_tuner_gain(rtlsdr_dev_t *d, int g) { (void)d;(void)g; return 0; }
-static inline int rtlsdr_get_tuner_gain(rtlsdr_dev_t *d) { (void)d; return 0; }
-static inline int rtlsdr_get_tuner_gains(rtlsdr_dev_t *d, int *g) { (void)d; if(g) g[0]=0; return 1; }
-static inline int rtlsdr_set_freq_correction(rtlsdr_dev_t *d, int p) { (void)d;(void)p; return 0; }
-static inline int rtlsdr_set_agc_mode(rtlsdr_dev_t *d, int o) { (void)d;(void)o; return 0; }
-static inline int rtlsdr_set_center_freq(rtlsdr_dev_t *d, uint32_t f) { (void)d;(void)f; return 0; }
-static inline int rtlsdr_set_sample_rate(rtlsdr_dev_t *d, uint32_t r) { (void)d;(void)r; return 0; }
-static inline int rtlsdr_reset_buffer(rtlsdr_dev_t *d) { (void)d; return 0; }
-static inline int rtlsdr_read_async(rtlsdr_dev_t *d, rtlsdr_read_async_cb_t cb, void *ctx, uint32_t n, uint32_t len) { (void)d;(void)cb;(void)ctx;(void)n;(void)len; return 0; }
-EOF
-        cp /root/reference/dump1090.c /root/reference/anet.c \
-           /root/reference/anet.h "$BUILD/"
-        gcc -O2 -I"$BUILD" "$BUILD/dump1090.c" "$BUILD/anet.c" \
-            -o "$REF" -lpthread -lm
-    )
-    rm -rf "$BUILD"
-fi
+# shared out-of-tree stub-librtlsdr build (tools/refbuild.py)
+REF=$(python tools/refbuild.py "$REF")
 
 echo "== IQ-stream differential fuzz (host + device-twin + sharded paths) =="
 python tools/fuzz_diff.py --ref "$REF" --n 10 --seed 11 --mode raw

@@ -157,6 +157,8 @@ def main() -> None:
                     "otherwise grab the TPU — which hangs the whole sweep "
                     "when the tunnel is wedged)")
     args = ap.parse_args()
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
 
     if args.backend != "auto":
         # must beat the axon sitecustomize, which registers the TPU plugin

@@ -275,6 +275,8 @@ def main() -> None:
                     choices=["default", "aggressive", "no-fix"],
                     help="CRC-fix policy passed to BOTH decoders")
     args = ap.parse_args()
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
 
     mode_flags = {"default": [], "aggressive": ["--aggressive"],
                   "no-fix": ["--no-fix"]}[args.mode]

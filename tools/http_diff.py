@@ -111,6 +111,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/tmp/refbuild/dump1090")
     args = ap.parse_args()
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
     for extra in ([], ["--metric"]):
         ref = run_one([args.ref], extra=extra)
         ours = run_one([sys.executable, "-m", "dump1090_tpu",

@@ -165,9 +165,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/tmp/refbuild/dump1090")
     args = ap.parse_args()
-    if not Path(args.ref).exists():
-        sys.exit(f"reference binary missing: {args.ref} "
-                 "(build via tools/campaign.sh or make_goldens.sh)")
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
 
     with tempfile.TemporaryDirectory() as cwd:
         # both decoders serve the SAME page bytes from this CWD, so the

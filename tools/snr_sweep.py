@@ -114,7 +114,14 @@ def main() -> None:
         jax.config.update("jax_platforms", args.backend)
 
     snrs = [float(s) for s in args.snrs.split(",")]
-    have_ref = Path(args.ref).exists()
+    try:  # build the reference on demand; sweep solo only if impossible
+        from refbuild import ensure_reference
+
+        args.ref = ensure_reference(args.ref)
+        have_ref = True
+    except SystemExit as e:
+        print(f"snr_sweep: {e} — reference column skipped", file=sys.stderr)
+        have_ref = False
     rows = []
     exact_sets = True
     for snr in snrs:

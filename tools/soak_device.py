@@ -234,6 +234,8 @@ def main() -> int:
                     "check: a direct run otherwise targets the tunneled "
                     "TPU — the sitecustomize plugin beats JAX_PLATFORMS)")
     args = ap.parse_args()
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
 
     if args.backend:
         import jax

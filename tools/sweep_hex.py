@@ -207,6 +207,8 @@ def main() -> None:
     ap.add_argument("--sweep", default="all",
                     choices=["all"] + sorted(SWEEPS))
     args = ap.parse_args()
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
 
     ref_cmd = ["stdbuf", "-oL", args.ref]
     ours_cmd = [sys.executable, "-u", "-m", "dump1090_tpu",

@@ -31,14 +31,10 @@ if [ "$1" != "--fast" ]; then
 fi
 
 echo "== 5. on-device differential fuzz (real chip) =="
-REF=${REF:-/tmp/refbuild/dump1090}
-if [ -x "$REF" ]; then
-    timeout 1800 python tools/fuzz_diff.py --ref "$REF" --n 4 --seed 31 \
-        --mode device --backend tpu
-    timeout 1800 python tools/fuzz_diff.py --ref "$REF" --n 4 --seed 32 \
-        --mode sharded-device --backend tpu
-else
-    echo "reference binary missing at $REF — skipping device fuzz"
-fi
+REF=$(python tools/refbuild.py "${REF:-/tmp/refbuild/dump1090}")
+timeout 1800 python tools/fuzz_diff.py --ref "$REF" --n 4 --seed 31 \
+    --mode device --backend tpu
+timeout 1800 python tools/fuzz_diff.py --ref "$REF" --n 4 --seed 32 \
+    --mode sharded-device --backend tpu
 
 echo "RECOVERY BATTERY PASSED"
