@@ -35,18 +35,143 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 FIXTURE = "/root/reference/testfiles/modes1.bin"
 
 
+def _cpr_encode(lat: float, lon: float, odd: int, surface: bool) -> tuple:
+    """CPR-encode a position into the 17-bit YZ/XZ fields (the inverse of
+    models/cpr.py decode; airborne zone 360/60|59 deg, surface 90/60|59)."""
+    import math
+
+    from dump1090_tpu.models.cpr import n_function
+
+    base = 90.0 if surface else 360.0
+    dlat = base / (59 if odd else 60)
+    yz = int(math.floor(131072 * ((lat % dlat) / dlat) + 0.5))
+    rlat = dlat * (yz / 131072 + math.floor(lat / dlat))
+    dlon = base / n_function(rlat, odd)
+    xz = int(math.floor(131072 * ((lon % dlon) / dlon) + 0.5))
+    return yz & 131071, xz & 131071
+
+
+def _fleet_frames(n_aircraft: int, steps: int) -> list:
+    """Deterministic multi-aircraft Mode S traffic for the messages-plane
+    soak.  modes1.bin is a single-aircraft capture, so the tracker plane
+    needs synthetic traffic to see what the reference sees in live air:
+    per aircraft and timestep an ident, an even+odd airborne CPR pair (the
+    global decode, dump1090.c:2069-2164), a velocity, and an AP-addressed
+    DF4 altitude reply (ICAO-cache brute force); the last aircraft switches
+    to surface positions once the auto-reference exists
+    (dump1090.c:2144-2155).  Returns 14/7-byte frames in emission order."""
+    from dump1090_tpu.constants import AIS_CHARSET
+    from dump1090_tpu.ops import crc as crc_ops
+
+    def df17(addr, metype, mesub, me):
+        from dump1090_tpu.utils.synth import make_df17_frame
+
+        return make_df17_frame(addr, metype=metype, mesub=mesub,
+                               me_payload=bytes(me))
+
+    def df4(addr, alt_ft):
+        n = (alt_ft + 1000) // 25
+        msg = bytearray(7)
+        msg[0] = 4 << 3
+        msg[2] = (n >> 6) & 31
+        msg[3] = (((n >> 5) & 1) << 7) | (((n >> 4) & 1) << 5) | (n & 15) | 0x10
+        c = crc_ops.compute_crc(np.frombuffer(bytes(msg), np.uint8), 56)
+        ap = c ^ addr
+        msg[4], msg[5], msg[6] = (ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF
+        return bytes(msg)
+
+    def pos_frame(addr, metype, alt_ft, odd, lat, lon, surface,
+                  track7=0, movement7=0):
+        yz, xz = _cpr_encode(lat, lon, odd, surface)
+        me = bytearray(6)
+        if surface:  # movement's high 3 bits ride the mesub position
+            me[0] = ((movement7 & 15) << 4) | 8 | ((track7 >> 4) & 7)
+            me[1] = ((track7 & 15) << 4) | (odd << 2) | ((yz >> 15) & 3)
+        else:
+            n = (alt_ft + 1000) // 25
+            me[0] = ((n >> 4) << 1) | 1           # AC12, Q=1
+            me[1] = ((n & 15) << 4) | (odd << 2) | ((yz >> 15) & 3)
+        me[2] = (yz >> 7) & 0xFF
+        me[3] = ((yz & 0x7F) << 1) | ((xz >> 16) & 1)
+        me[4] = (xz >> 8) & 0xFF
+        me[5] = xz & 0xFF
+        mesub = (movement7 >> 4) & 7 if surface else 0
+        return df17(addr, metype, mesub, me)
+
+    def velocity_me(ew, ew_dir, ns, ns_dir, vr, vr_sign):
+        return bytes([
+            (ew_dir << 2) | ((ew >> 8) & 3), ew & 0xFF,
+            (ns_dir << 7) | ((ns >> 3) & 0x7F),
+            ((ns & 7) << 5) | (vr_sign << 3) | ((vr >> 6) & 7),
+            (vr & 0x3F) << 2, 0,
+        ])
+
+    frames = []
+    for t in range(steps):
+        for i in range(n_aircraft):
+            addr = 0xA01000 + i * 0x111
+            alt = 2000 + 1000 * i + 100 * t
+            lat = 44.0 + 0.9 * i + 0.013 * t
+            lon = 8.0 + 0.7 * i + 0.017 * t
+            if t == 0:
+                call = f"SOAK{i:02d}A "
+                six = [AIS_CHARSET.index(c) for c in call]
+                me = bytes([
+                    (six[0] << 2) | (six[1] >> 4),
+                    ((six[1] & 15) << 4) | (six[2] >> 2),
+                    ((six[2] & 3) << 6) | six[3],
+                    (six[4] << 2) | (six[5] >> 4),
+                    ((six[5] & 15) << 4) | (six[6] >> 2),
+                    ((six[6] & 3) << 6) | six[7],
+                ])
+                frames.append(df17(addr, 4, 0, me))
+            surface = i == n_aircraft - 1 and t > 0
+            for odd in (0, 1):
+                if surface:
+                    frames.append(pos_frame(
+                        addr, 7, 0, odd, 44.0 + 0.013 * t, 8.0 + 0.017 * t,
+                        True, track7=(20 + 3 * t) & 127, movement7=40 + t))
+                else:
+                    frames.append(pos_frame(addr, 11, alt, odd, lat, lon,
+                                            False))
+            frames.append(df17(addr, 19, 1,
+                               velocity_me(120 + 10 * i + t, i & 1,
+                                           200 + 7 * i + t, (i >> 1) & 1,
+                                           64 + i, t & 1)))
+            frames.append(df4(addr, alt))
+    return frames
+
+
+def fleet_iq_bytes(n_aircraft: int, steps: int) -> np.ndarray:
+    """Modulate the fleet traffic into clean 2 Msps IQ (utils/synth.py)."""
+    from dump1090_tpu.utils.synth import frame_to_iq
+
+    parts = [frame_to_iq(f, amplitude=80.0, pad_before=240, pad_after=240)
+             for f in _fleet_frames(n_aircraft, steps)]
+    return np.concatenate(parts)
+
+
 class PatternSource:
     """Deterministic looping IQ byte stream: `dense` repetitions of the
     fixture followed by `quiet` buffer-lengths of dead air (127s), repeated.
     Byte content is a pure function of the stream offset, so a second
     instance with the same total_bytes replays the identical stream.  A
-    rate cap (bytes/s) paces reads so a soak spans real wall time."""
+    rate cap (bytes/s) paces reads so a soak spans real wall time.
+
+    The period is assembled per-read from the fixture (O(1) memory): the
+    messages-plane soak uses quiet stretches longer than the 60 s aircraft
+    TTL (gigabytes of dead air per period), which must not be materialized."""
 
     def __init__(self, total_bytes=None, rate_bytes_s=None,
-                 deadline_s=None, dense_reps=4, quiet_bufs=48):
-        raw = np.fromfile(FIXTURE, dtype=np.uint8)
-        quiet = np.full(quiet_bufs * 262144, 127, dtype=np.uint8)
-        self.period = np.concatenate([np.tile(raw, dense_reps), quiet])
+                 deadline_s=None, dense_reps=4, quiet_bufs=48,
+                 fleet_aircraft=0, fleet_steps=0):
+        self.raw = np.fromfile(FIXTURE, dtype=np.uint8)
+        self.dense_len = dense_reps * len(self.raw)
+        self.fleet = (fleet_iq_bytes(fleet_aircraft, fleet_steps)
+                      if fleet_aircraft and fleet_steps
+                      else np.empty(0, dtype=np.uint8))
+        self.fleet_end = self.dense_len + len(self.fleet)
+        self.period_len = self.fleet_end + quiet_bufs * 262144
         self.total = total_bytes  # None = unbounded until deadline
         self.rate = rate_bytes_s
         self.deadline_s = deadline_s
@@ -56,6 +181,26 @@ class PatternSource:
 
     def seekable(self):
         return False
+
+    def _slice(self, p: int, n: int) -> np.ndarray:
+        """Bytes [p, p+n) of one period (p, p+n <= period_len)."""
+        if p >= self.fleet_end:  # pure quiet
+            return np.full(n, 127, dtype=np.uint8)
+        parts = []
+        while n > 0 and p < self.dense_len:
+            q = p % len(self.raw)
+            take = min(n, len(self.raw) - q)
+            parts.append(self.raw[q : q + take])
+            p += take
+            n -= take
+        if n > 0 and p < self.fleet_end:
+            take = min(n, self.fleet_end - p)
+            parts.append(self.fleet[p - self.dense_len : p - self.dense_len + take])
+            p += take
+            n -= take
+        if n > 0:
+            parts.append(np.full(n, 127, dtype=np.uint8))
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def read(self, n: int) -> bytes:
         if self._t0 is None:
@@ -72,13 +217,45 @@ class PatternSource:
             ahead = (self.pos / self.rate) - (time.monotonic() - self._t0)
             if ahead > 0:
                 time.sleep(ahead)
-        p = self.pos % len(self.period)
-        chunk = self.period[p : p + n]
-        if len(chunk) < n:  # wrap
-            chunk = np.concatenate(
-                [chunk, self.period[: n - len(chunk)]])
+        parts = []
+        pos, left = self.pos, n
+        while left > 0:
+            p = pos % self.period_len
+            take = min(left, self.period_len - p)
+            parts.append(self._slice(p, take))
+            pos += take
+            left -= take
         self.pos += n
-        return chunk.tobytes()
+        return b"".join(x.tobytes() for x in parts)
+
+
+def _report_regime_shifts(yields, spec) -> list:
+    """Flag inter-GROUP gaps well above the EXPECTED pacing period.
+
+    A paced run yields one burst of `groups` chunks per dispatch group, so
+    raw inter-yield statistics flag the pacing cadence itself (the round-4
+    soak reported 1320 "candidates" of which all but one were the 1.05 s
+    group period — VERDICT r4 Weak #5).  The detector knows the pacing rate
+    and the group geometry, so it compares the time between consecutive
+    GROUP completions against bytes-per-group / rate and reports only gaps
+    >= 2x that (or +1.5 s absolute for unpaced runs): link-mood collapses
+    and recompile stalls, not the cadence."""
+    ng = max(spec.get("groups", 1), 1)
+    group_t = [t for t, _ in yields[ng - 1 :: ng]]
+    gaps = [b - a for a, b in zip(group_t, group_t[1:])]
+    if not gaps:
+        return []
+    rate = spec.get("rate")
+    group_bytes = spec["batch"] * ng * 262144
+    expected = group_bytes / rate if rate else sorted(gaps)[len(gaps) // 2]
+    thresh = max(2 * expected, expected + 1.5)
+    shifts = [(i, g) for i, g in enumerate(gaps) if g > thresh]
+    print(f"group gaps: expected {expected:.2f} s "
+          f"({group_bytes/1e6:.0f} MB/group at the pacing rate), median "
+          f"{sorted(gaps)[len(gaps)//2]:.2f} s, max {max(gaps):.2f} s; "
+          f"{len(shifts)} true regime-shift(s) (>{thresh:.2f} s): "
+          f"{[(i, round(g, 2)) for i, g in shifts[:12]]}", file=sys.stderr)
+    return shifts
 
 
 def _run_device_pass(spec: dict, clocks_out: list, paced: bool):
@@ -116,6 +293,216 @@ def _run_device_pass(spec: dict, clocks_out: list, paced: bool):
     return b"".join(out), stats, src.pos, yields
 
 
+def _make_clock(spec: dict, name: str, rec: dict, ms: bool = False):
+    """A recording clock (device pass) or a replaying clock (oracle pass).
+    Determinism contract: both passes decode the identical byte stream, so
+    every clock consumer runs in the identical order; recording each value
+    returned and replaying the sequence reproduces every TTL / CPR-latch /
+    eviction decision exactly."""
+    vals = spec.get(name)
+    if vals is not None:
+        it = iter(vals)
+        return lambda: next(it)
+    lst = rec.setdefault(name, [])
+    scale = 1000 if ms else 1
+
+    def clock():
+        v = int(time.time() * scale)
+        lst.append(v)
+        return v
+
+    return clock
+
+
+def _tracker_state(tracker) -> dict:
+    """Full tracker state, floats as IEEE-754 hex for byte-exact diffing."""
+    return {
+        "ref": [tracker.ref_lat.hex(), tracker.ref_lon.hex(),
+                tracker.ref_count],
+        "aircraft": [
+            [a.hexaddr, a.flight, a.altitude, a.speed, a.track, a.seen,
+             a.messages, a.odd_cprlat, a.odd_cprlon, a.even_cprlat,
+             a.even_cprlon, a.odd_cprtime, a.even_cprtime,
+             a.lat.hex(), a.lon.hex()]
+            for a in tracker.aircraft
+        ],
+    }
+
+
+def _run_messages_pass(spec: dict, paced: bool) -> dict:
+    """The O(messages) plane under soak: the device full-fidelity resolve
+    path (run_device) feeding the REAL hub -> tracker/CPR/SBS/raw/data.json
+    chain (models/hub.py, models/tracker.py, utils/display.py) — the
+    subsystems the reference runs continuously in its main loop
+    (useModesMessage dump1090.c:1795-1820, interactiveReceiveData
+    :2069-2164, aircraftsToJson :2505-2551, stale eviction :2203-2224)."""
+    import io as _io
+
+    from dump1090_tpu.models.hub import HubConfig, MessageHub
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+    from dump1090_tpu.models.tracker import AircraftTracker
+    from dump1090_tpu.utils import display as disp
+
+    rec: dict = {}
+    src = PatternSource(
+        total_bytes=spec.get("total_bytes"),
+        rate_bytes_s=spec["rate"] if paced else None,
+        deadline_s=spec.get("deadline_s") if paced else None,
+        dense_reps=spec["dense_reps"], quiet_bufs=spec["quiet_bufs"],
+        fleet_aircraft=spec.get("fleet_aircraft", 0),
+        fleet_steps=spec.get("fleet_steps", 0),
+    )
+    p = DemodPipeline(
+        PipelineConfig(batch_buffers=spec["batch"],
+                       dispatch_groups=spec["groups"]),
+        clock=_make_clock(spec, "pipe_clocks", rec),
+    )
+    # enable the tracking gate the way live SBS/HTTP clients do
+    # (useModesMessage dump1090.c:1806-1808)
+    p.stats.sbs_connections = 1
+    p.stats.http_requests = 1
+    tracker = AircraftTracker(
+        clock=_make_clock(spec, "trk_clocks", rec),
+        msclock=_make_clock(spec, "trk_msclocks", rec, ms=True),
+    )
+    sbs: list = []
+    raw_out = _io.StringIO()
+    hub = MessageHub(
+        HubConfig(raw=True, net=False), tracker, p.stats,
+        out=raw_out, sbs_sink=sbs.append,
+    )
+    snaps: list = []
+    n_seen = [0]
+    evict_every = spec["evict_every"]
+    snap_every = spec["snap_every"]
+
+    def emit(mm):
+        hub.use_message(mm)
+        n_seen[0] += 1
+        # the reference evicts + serves once per 65 ms buffer
+        # (backgroundTasks dump1090.c:2831-2847); message-count cadence is
+        # the deterministic equivalent under replayed clocks
+        if n_seen[0] % evict_every == 0:
+            tracker.remove_stale()
+        if n_seen[0] % snap_every == 0:
+            snaps.append(disp.aircraft_json(tracker))
+
+    t0 = time.monotonic()
+    p.run_device(src, emit)
+    wall = time.monotonic() - t0
+    stats = [p.stats.valid_preamble, p.stats.out_of_phase,
+             p.stats.demodulated, p.stats.goodcrc, p.stats.badcrc,
+             p.stats.fixed, p.stats.single_bit_fix, p.stats.two_bits_fix]
+    snaps.append(disp.aircraft_json(tracker))  # final snapshot, always
+    return {
+        "raw": raw_out.getvalue(), "sbs": "".join(sbs), "snaps": snaps,
+        "final": _tracker_state(tracker), "stats": stats,
+        "nbytes": src.pos, "n_msgs": n_seen[0], "wall": wall, "rec": rec,
+    }
+
+
+def soak_messages(args) -> int:
+    """Wall-clock soak of the tracking/serving plane (VERDICT r4 Missing
+    #2): run_device -> hub -> tracker/CPR/SBS/data.json under live time for
+    --wall-messages minutes, then a CPU-oracle replay of the identical byte
+    stream with the recorded clock sequences; every plane artifact is
+    diffed byte-for-byte."""
+    spec = {
+        "batch": args.batch, "groups": args.groups,
+        # quiet stretches longer than the 60 s TTL at the pacing rate force
+        # REAL evictions + ICAO-cache horizon crossings each period; the
+        # dense phase replays the fixture's full DF mix (CPR pairs, idents,
+        # velocities, squawks) at ~9 kmsg/s
+        "dense_reps": args.dense_reps, "quiet_bufs": args.quiet_bufs,
+        "fleet_aircraft": args.fleet_aircraft, "fleet_steps": args.fleet_steps,
+        "rate": args.rate_mb_s * 1e6,
+        "deadline_s": args.wall_messages * 60,
+        "evict_every": 200, "snap_every": 20000,
+    }
+    dense_s = spec["dense_reps"] * 713736 / spec["rate"]
+    quiet_s = spec["quiet_bufs"] * 262144 / spec["rate"]
+    print(f"messages-plane soak: period = {dense_s:.0f} s dense "
+          f"(modes1 x{spec['dense_reps']} + {args.fleet_aircraft}-aircraft "
+          f"fleet x{args.fleet_steps} steps) + "
+          f"{quiet_s:.0f} s quiet (TTL 60 s -> "
+          f"{'evictions each period' if quiet_s > 75 else 'NO eviction horizon!'}), "
+          f"{args.wall_messages:.0f} min", file=sys.stderr)
+    dev = _run_messages_pass(spec, paced=True)
+    print(f"device pass: {dev['wall']/60:.1f} min, {dev['nbytes']/1e6:.0f} MB, "
+          f"{dev['n_msgs']} messages to the hub, "
+          f"{len(dev['raw'].splitlines())} raw lines, "
+          f"{len(dev['sbs'].splitlines())} SBS lines, "
+          f"{len(dev['snaps'])} data.json snapshots, "
+          f"{len(dev['final']['aircraft'])} aircraft live at EOF, "
+          f"clock span {dev['rec']['pipe_clocks'][-1] - dev['rec']['pipe_clocks'][0]} s",
+          file=sys.stderr)
+
+    oracle_spec = dict(spec, total_bytes=dev["nbytes"],
+                       pipe_clocks=dev["rec"]["pipe_clocks"],
+                       trk_clocks=dev["rec"]["trk_clocks"],
+                       trk_msclocks=dev["rec"]["trk_msclocks"])
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as sf:
+        json.dump(oracle_spec, sf)
+        spec_path = sf.name
+    out_path = spec_path + ".out"
+    try:
+        t0 = time.monotonic()
+        r = subprocess.run(
+            [sys.executable, __file__, "--oracle-spec", spec_path,
+             "--oracle-out", out_path, "--oracle-messages"],
+            env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            capture_output=True, text=True, timeout=14400,
+        )
+        if r.returncode != 0:
+            print(f"oracle subprocess failed:\n{r.stderr[-2000:]}")
+            return 1
+        print(f"oracle pass (CPU XLA twin, replayed clocks): "
+              f"{(time.monotonic()-t0)/60:.1f} min", file=sys.stderr)
+        with open(out_path) as f:
+            orc = json.load(f)
+    finally:
+        os.unlink(spec_path)
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+
+    ok = True
+    if dev["n_msgs"] == 0 or not dev["sbs"] or len(dev["snaps"]) < 2:
+        print("SOAK FAIL: vacuous run (no messages / SBS / snapshots)")
+        ok = False
+    for key, label in (("stats", "counters"), ("final", "tracker state")):
+        if orc[key] != dev[key]:
+            print(f"MESSAGES SOAK FAIL: {label} diverged\n dev={dev[key]}\n "
+                  f"orc={orc[key]}")
+            ok = False
+    for key, label in (("raw", "raw stream"), ("sbs", "SBS stream")):
+        if orc[key] != dev[key]:
+            a, b = dev[key].splitlines(), orc[key].splitlines()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    print(f"MESSAGES SOAK FAIL: {label} line {i}: "
+                          f"dev {x!r} orc {y!r}")
+                    break
+            print(f"MESSAGES SOAK FAIL: {label} dev {len(a)} orc {len(b)} lines")
+            ok = False
+    if orc["snaps"] != dev["snaps"]:
+        n = sum(a != b for a, b in zip(dev["snaps"], orc["snaps"]))
+        print(f"MESSAGES SOAK FAIL: {n} of {len(dev['snaps'])} data.json "
+              f"snapshots differ (dev {len(dev['snaps'])} orc "
+              f"{len(orc['snaps'])})")
+        ok = False
+    if ok:
+        span = dev["rec"]["pipe_clocks"][-1] - dev["rec"]["pipe_clocks"][0]
+        print(f"MESSAGES SOAK PASS: {dev['wall']/60:.1f} min, "
+              f"{dev['nbytes']/1e6:.0f} MB, {dev['n_msgs']} messages, "
+              f"{len(dev['sbs'].splitlines())} SBS lines, "
+              f"{len(dev['snaps'])} data.json snapshots, "
+              f"{span//60} TTL horizons, final tracker state "
+              f"({len(dev['final']['aircraft'])} aircraft) — raw + SBS + "
+              f"snapshots + tracker state + 8 counters identical to the "
+              f"CPU-oracle replay")
+    return 0 if ok else 1
+
+
 def soak_wall(args) -> int:
     """Wall-clock soak: device decode under live time for --wall-minutes,
     then a CPU-oracle replay of the identical stream + clock sequence."""
@@ -140,16 +527,7 @@ def soak_wall(args) -> int:
           f"{clocks[-1]-clocks[0]}s ({(clocks[-1]-clocks[0])//60} TTL "
           f"horizons of 60s)", file=sys.stderr)
 
-    # regime shifts: inter-yield gaps way above the running median mark
-    # link-mood changes (the round-3 D2H collapse was found by accident)
-    gaps = [b[0] - a[0] for a, b in zip(yields, yields[1:])]
-    if gaps:
-        med = sorted(gaps)[len(gaps) // 2]
-        shifts = [(i, g) for i, g in enumerate(gaps) if g > max(4 * med, 1.0)]
-        print(f"yield gaps: median {med*1e3:.0f} ms, max {max(gaps)*1e3:.0f} "
-              f"ms, {len(shifts)} regime-shift candidates "
-              f"(>{max(4*med,1.0)*1e3:.0f} ms): "
-              f"{[(i, round(g,2)) for i, g in shifts[:8]]}", file=sys.stderr)
+    _report_regime_shifts(yields, spec)
 
     # oracle replay in a subprocess (the axon TPU plugin does not register
     # in children, so JAX_PLATFORMS=cpu works there — CLAUDE.md)
@@ -203,12 +581,18 @@ def soak_wall(args) -> int:
     return 0 if ok else 1
 
 
-def oracle_main(spec_path: str, out_path: str) -> int:
+def oracle_main(spec_path: str, out_path: str, messages: bool = False) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     with open(spec_path) as f:
         spec = json.load(f)
+    if messages:
+        res = _run_messages_pass(spec, paced=False)
+        res.pop("rec")
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+        return 0
     raw, stats, _, _ = _run_device_pass(spec, [], paced=False)
     with open(out_path, "wb") as f:
         f.write(json.dumps(list(stats)).encode() + b"\n")
@@ -227,8 +611,28 @@ def main() -> int:
                     "instead of the fixed-reps byte-diff")
     ap.add_argument("--rate-mb-s", type=float, default=32.0,
                     help="ingest pacing for the wall-clock soak")
+    ap.add_argument("--wall-messages", type=float, default=0,
+                    help="soak the O(messages) plane (hub/tracker/CPR/SBS/"
+                    "data.json) for this many wall minutes and diff every "
+                    "artifact against a replayed-clock CPU oracle")
+    ap.add_argument("--dense-reps", type=int, default=900,
+                    help="fixture repetitions per pattern period "
+                    "(messages soak; ~20 s of dense air at 32 MB/s)")
+    ap.add_argument("--quiet-bufs", type=int, default=9216,
+                    help="dead-air buffers per pattern period (messages "
+                    "soak; ~75 s at 32 MB/s — past the 60 s TTL so every "
+                    "period crosses a real eviction horizon)")
+    ap.add_argument("--fleet-aircraft", type=int, default=8,
+                    help="synthetic aircraft in the fleet segment (messages "
+                    "soak; modes1 is single-aircraft, the fleet drives "
+                    "multi-aircraft CPR pairing / surface / velocity / "
+                    "ident / DF4-AP traffic)")
+    ap.add_argument("--fleet-steps", type=int, default=6,
+                    help="fleet timesteps per pattern period")
     ap.add_argument("--oracle-spec", help="(internal) CPU oracle replay")
     ap.add_argument("--oracle-out", help="(internal) oracle output path")
+    ap.add_argument("--oracle-messages", action="store_true",
+                    help="(internal) oracle replays the messages plane")
     ap.add_argument("--backend", default=None,
                     help="pin the JAX platform (e.g. cpu for a logic "
                     "check: a direct run otherwise targets the tunneled "
@@ -242,7 +646,10 @@ def main() -> int:
 
         jax.config.update("jax_platforms", args.backend)
     if args.oracle_spec:
-        return oracle_main(args.oracle_spec, args.oracle_out)
+        return oracle_main(args.oracle_spec, args.oracle_out,
+                           messages=args.oracle_messages)
+    if args.wall_messages:
+        return soak_messages(args)
     if args.wall_minutes:
         return soak_wall(args)
 
