@@ -61,6 +61,20 @@ MC = 256        # max preamble candidates per buffer (dense-air shape)
 MOS = 5632      # max emitted short frames per batch (9-byte rows)
 MOL = 9216      # max emitted long frames per batch (14-byte rows)
 
+# Quiet-box sentinel bands (committed record: BENCH_r03 quiet vs BENCH_r04
+# degraded + the CLAUDE.md host-contention signature).  A breach marks the
+# capture env_health: degraded — the documented signature of host CPU
+# contention / a sick tunnel, under which CLAUDE.md declares benchmark
+# numbers invalid.  r3 quiet: H2D fast-window 1.3-1.8 GB/s, compile+first
+# group ~10 s (warm XLA cache), demod-only 4.86-4.90 ms/batch; r4 degraded:
+# 0.51 GB/s / 81.9 s / (demod unaffected that time); contended box: 0.01
+# GB/s / 53 s / 5.8 ms.
+QUIET_BANDS = {
+    "h2d_fast_gbps_min": 1.0,
+    "compile_first_group_s_max": 45.0,   # only with a warm compilation cache
+    "demod_ms_batch_max": 5.5,
+}
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -156,14 +170,21 @@ def main() -> None:
 
     # persistent XLA compilation cache: the fused program compiles once per
     # machine, not once per bench run (first-ever compile is 1-4 min)
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    cache_warm = False  # a cold cache makes compile+first-group legitimately
+    # slow, so that sentinel only counts against env_health when warm
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache:
         try:
             cache = os.path.expanduser("~/.cache/dump1090_tpu/jax")
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         except OSError:
-            pass
+            cache = None
+    try:
+        cache_warm = bool(cache) and any(os.scandir(cache))
+    except OSError:
+        pass
 
     # ---- cold-file end-to-end (disk -> raw lines, nothing resident) --------
     # The PRODUCT file-decode path (DemodPipeline.stream_raw_device with the
@@ -190,6 +211,7 @@ def main() -> None:
     log(f"H2D pre-compute (fast window): {h2d_fast/1e9:.2f} GB/s")
 
     ttfm_s = None
+    cold_file = None
     if FIXTURE.exists() and not os.environ.get("DUMP1090_BENCH_SKIP_COLD"):
         raw0 = np.fromfile(FIXTURE, dtype=np.uint8)
         # one CLI dispatch group = 8 x 64 buffers = 67 M samples, so a
@@ -224,9 +246,20 @@ def main() -> None:
         total_samples = reps0 * len(raw0) // 2
         steady = (total_samples - samples_at_first) / max(t_end - t_first, 1e-9)
         ttfm_s = round(t_first - t_open, 1)
+        # cold-file attribution (VERDICT r4 Weak #2): TTFM is dominated by
+        # the preload over the tunnel's pre-compute window, whose rate is
+        # the h2d_fast probe above — publish it WITH the TTFM so a slow
+        # link reads as the link's number; the decoder's stable cold-file
+        # figure is the steady post-preload rate (CLAUDE.md, DESIGN.md)
+        cold_file = {
+            "ttfm_s": ttfm_s,
+            "preload_gbps": round(h2d_fast / 1e9, 3),
+            "steady_msamples_s": round(steady / 1e6, 1),
+        }
         log(f"cold-file (product pipeline, {reps0 * len(raw0) / 1e6:.0f} MB "
             f"from disk, preload+decode): first batch at "
-            f"{t_first - t_open:.1f}s (incl. compile+preload), then "
+            f"{t_first - t_open:.1f}s (incl. compile+preload at the "
+            f"{h2d_fast/1e9:.2f} GB/s link rate above), then "
             f"{steady/1e6:.0f} Msamples/s to EOF; {n_lines} messages")
 
     from dump1090_tpu.constants import (
@@ -303,7 +336,9 @@ def main() -> None:
     t0 = time.perf_counter()
     outs, ca, ct = run_group(groups[0], ca, ct)
     _ = jax.device_get(outs[1])
-    log(f"compile+first group: {time.perf_counter()-t0:.1f}s")
+    t_compile = time.perf_counter() - t0
+    log(f"compile+first group: {t_compile:.1f}s "
+        f"(compilation cache {'warm' if cache_warm else 'COLD'})")
 
     # ---- steady state: dispatch g+1, fetch g, format on a worker thread ----
     from concurrent.futures import ThreadPoolExecutor
@@ -397,6 +432,54 @@ def main() -> None:
         t_demod = min(t_demod, (time.perf_counter() - t0) / L)
     log(f"device demod only: {t_demod*1e3:.2f} ms/batch -> "
         f"{new_per_batch/t_demod/1e6:.0f} Msamples/s")
+
+    # ---- environment-health sentinels (VERDICT r4 Weak #1) -----------------
+    # The documented host-contention / sick-tunnel signature invalidates
+    # benchmark numbers (CLAUDE.md): check each sentinel against the
+    # committed quiet bands, and when degraded-but-alive, retry the timed
+    # sections within a bounded window — contention from co-tenant jobs
+    # often clears — accepting the best sample.  h2d_fast and the compile
+    # time are one-shot per process (the fast H2D window closes at first
+    # compute), so a breach there marks the RECORD degraded even if the
+    # retries improve: the capture defends itself rather than publishing a
+    # silent environmental penalty as a regression.
+    def _breaches():
+        b = {}
+        if h2d_fast / 1e9 < QUIET_BANDS["h2d_fast_gbps_min"]:
+            b["h2d_fast_gbps"] = round(h2d_fast / 1e9, 3)
+        if cache_warm and t_compile > QUIET_BANDS["compile_first_group_s_max"]:
+            b["compile_first_group_s"] = round(t_compile, 1)
+        if t_demod * 1e3 > QUIET_BANDS["demod_ms_batch_max"]:
+            b["demod_ms_batch"] = round(t_demod * 1e3, 2)
+        return b
+
+    retry_budget = float(os.environ.get("BENCH_DEGRADED_RETRY_S", "600"))
+    t_retry0 = time.perf_counter()
+    n_retries = 0
+    while _breaches() and n_retries < 5:
+        if time.perf_counter() - t_retry0 + 75 > retry_budget:
+            log(f"env still degraded after {n_retries} retries "
+                f"({retry_budget:.0f} s budget spent) — recording as such")
+            break
+        n_retries += 1
+        log(f"env degraded ({_breaches()}); sleeping 60 s, then retry "
+            f"{n_retries} of the timed sections")
+        time.sleep(60)
+        wall2, n2, b2 = sustained_run()
+        if wall2 < wall:
+            wall, n_msgs, out_bytes = wall2, n2, b2
+        t0 = time.perf_counter()
+        _ = float(jax.device_get(demod_only(x, L)))
+        t_demod = min(t_demod, (time.perf_counter() - t0) / L)
+        sustained = T * new_per_group / wall
+        log(f"retry {n_retries}: sustained {sustained/1e6:.0f} Msamples/s, "
+            f"demod {t_demod*1e3:.2f} ms/batch")
+    sustained = T * new_per_group / wall
+    env_breaches = _breaches()
+    env_health = "degraded" if env_breaches else "quiet"
+    log(f"env_health: {env_health}"
+        + (f" (breaches: {env_breaches}, {n_retries} retries)"
+           if env_breaches else ""))
 
     @functools.partial(jax.jit, static_argnames=("L",))
     def fused(x, ca, ct, L):
@@ -533,9 +616,20 @@ def main() -> None:
         "value": round(sustained / 1e6, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sustained / CPU_BASELINE_SAMPLES_PER_S, 2),
+        "env_health": env_health,
+        "env_sentinels": {
+            "h2d_fast_gbps": round(h2d_fast / 1e9, 3),
+            "compile_first_group_s": round(t_compile, 1),
+            "compile_cache_warm": cache_warm,
+            "demod_ms_batch": round(t_demod * 1e3, 2),
+            "quiet_bands": QUIET_BANDS,
+            "breaches": env_breaches,
+            "degraded_retries": n_retries,
+        },
         "sol_fraction": {k: round(v, 4) for k, v in sol.items()},
         "hbm_gbps": 720,
         "ttfm_cold_file_s": ttfm_s,
+        "cold_file": cold_file,
     }
     _save_last_success(record)
     print(json.dumps(record))

@@ -85,3 +85,44 @@ def test_decode_rate_improves_with_snr():
         rates.append(ok / 20)
     assert rates[0] <= rates[1] <= rates[2]
     assert rates[2] == 1.0
+
+
+def test_fleet_traffic_exercises_tracker_plane():
+    """The soak's synthetic fleet (tools/soak_device.py) must drive every
+    tracker-plane path: multi-aircraft CPR pairing, idents, velocities,
+    AP-addressed DF4 replies, surface decode after auto-reference
+    (dump1090.c:2069-2164) — pinned here so the generator can't rot."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from soak_device import _fleet_frames
+
+    from dump1090_tpu.models.decoder import (
+        DecoderStats, IcaoCache, decode_message,
+    )
+    from dump1090_tpu.models.tracker import AircraftTracker
+
+    n_ac, steps = 5, 3
+    frames = _fleet_frames(n_ac, steps)
+    t = [1000]
+    cache = IcaoCache(clock=lambda: t[0])
+    trk = AircraftTracker(clock=lambda: t[0], msclock=lambda: t[0] * 1000)
+    stats = DecoderStats()
+    df_types = set()
+    for f in frames:
+        mm = decode_message(f, cache, DecoderConfig(), stats)
+        assert mm.crcok, f"fleet frame failed CRC: {f.hex()}"
+        df_types.add(mm.msgtype)
+        trk.receive(mm)
+        t[0] += 1
+    assert df_types == {4, 17}
+    assert len(trk.aircraft) == n_ac
+    assert trk.ref_count > 0                      # auto-reference accumulated
+    for a in trk.aircraft:
+        assert a.flight.startswith("SOAK")        # ident decoded
+        assert (a.lat, a.lon) != (0.0, 0.0)       # CPR pair decoded
+        assert a.speed > 0                        # velocity decoded
+    # airborne aircraft carry the DF4 altitude; the surface one ends on a
+    # DF4 too (alt restored after the on-ground zero) — all nonzero here
+    assert all(a.altitude > 0 for a in trk.aircraft)

@@ -314,6 +314,115 @@ def probe_ab_sustained(args):
 
 
 # ---------------------------------------------------------------------------
+# trace: jax.profiler op-level attribution of the grouped product program
+# (round-5 directive: settle the demod floor with EVIDENCE, not hypotheses)
+# ---------------------------------------------------------------------------
+
+def _trace_device_ops(trace_dir: str):
+    """Aggregate device-lane op self-times from the trace-viewer JSON that
+    jax.profiler.trace writes (no tensorboard needed).  Returns
+    {op_name: (total_us, count, example_args)} for events on device
+    processes, plus the process-name map for diagnostics."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        raise FileNotFoundError(f"no trace json under {trace_dir}")
+    d = json.loads(gzip.open(max(paths)).read())
+    evs = d["traceEvents"]
+    pnames = {}
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"]["name"]
+    dev_pids = {p for p, n in pnames.items()
+                if "TPU" in n or "/device" in n.lower()}
+    agg = collections.defaultdict(lambda: [0.0, 0, None])
+    for e in evs:
+        if e.get("ph") != "X" or e["pid"] not in dev_pids:
+            continue
+        a = agg[e["name"]]
+        a[0] += e.get("dur", 0.0)
+        a[1] += 1
+        if a[2] is None and e.get("args"):
+            a[2] = e["args"]
+    return dict(agg), pnames
+
+
+def probe_trace(args):
+    import os
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.constants import (
+        BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES, ICAO_CACHE_LEN,
+    )
+    from dump1090_tpu.models.pipeline import start_d2h
+    from dump1090_tpu.ops.resolve import _group_back, _group_front
+
+    NB, G, T, MC, MOS, MOL = args.nb, 12, 2, args.mc, 5632, 9216
+    bufs = load_buffers(G * NB)
+    x = jax.device_put(jnp.asarray(bufs.reshape(G, NB, -1)))
+    x.block_until_ready()
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+
+    def run_group(x, ca, ct, front):
+        m, n, pos = _group_front(
+            x, scan_len=scan_len, max_candidates=MC, front=front)
+        out = _group_back(
+            m, n, pos, ca, ct, 1_700_000_000, True, False,
+            scan_len=scan_len, max_candidates=MC, max_out=0,
+            max_out_short=MOS, max_out_long=MOL,
+            crcok_only=True, pallas=True, packed=True)
+        start_d2h(out[:6])
+        return out[:6], out[-2], out[-1]
+
+    fronts = args.front.split(",") if args.front else ["mask", "packed"]
+    reports = {}
+    for front in fronts:
+        ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        # warm: compile outside the trace window
+        outs, ca, ct = run_group(x, ca, ct, front)
+        _ = jax.device_get(list(outs))
+        tdir = f"/tmp/d1090_trace_{front}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        with jax.profiler.trace(tdir):
+            for _t in range(T):
+                outs, ca, ct = run_group(x, ca, ct, front)
+                _ = jax.device_get(list(outs))
+        wall = time.perf_counter() - t0
+        agg, pnames = _trace_device_ops(tdir)
+        log(f"\n=== front={front}: {T} groups x {G} batches in "
+            f"{wall*1e3:.0f} ms wall "
+            f"({T*G*NB*BLOCK_SAMPLES/wall/1e6:.0f} Ms/s incl. trace "
+            f"overhead); trace: {tdir}")
+        log(f"device processes: "
+            f"{sorted(n for n in pnames.values() if 'TPU' in n or 'device' in n.lower())}")
+        rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+        total_us = sum(v[0] for v in agg.values())
+        log(f"{'per-batch':>10}  {'total':>9}  {'count':>6}  op")
+        for name, (us, n, a) in rows[: args.top]:
+            extra = ""
+            if a:
+                for k in ("long_name", "hlo_op", "tf_op", "source"):
+                    if a.get(k) and a[k] != name:
+                        extra = f"  [{str(a[k])[:120]}]"
+                        break
+            log(f"{us/1e3/(T*G):8.3f} ms  {us/1e3:7.1f} ms  {n:6d}  "
+                f"{name[:90]}{extra}")
+        log(f"device total: {total_us/1e3:.1f} ms "
+            f"({total_us/1e3/(T*G):.3f} ms/batch)")
+        reports[front] = agg
+    return reports
+
+
+# ---------------------------------------------------------------------------
 # stages: per-stage demod breakdown + HBM roofline (from measure_r3c/r3d)
 # ---------------------------------------------------------------------------
 
@@ -510,6 +619,7 @@ PROBES = {
     "scan": probe_scan,
     "front": probe_front,
     "ab-sustained": probe_ab_sustained,
+    "trace": probe_trace,
     "stages": probe_stages,
     "link": probe_link,
     "staged-h2d": probe_staged_h2d,
@@ -521,6 +631,10 @@ def main():
     ap.add_argument("--probe", required=True, choices=sorted(PROBES))
     ap.add_argument("--nb", type=int, default=128)
     ap.add_argument("--mc", type=int, default=256)
+    ap.add_argument("--front", default=None,
+                    help="comma-separated front variants for --probe trace")
+    ap.add_argument("--top", type=int, default=30,
+                    help="ops to print per trace report")
     args = ap.parse_args()
 
     import jax
