@@ -333,15 +333,24 @@ def _trace_device_ops(trace_dir: str):
         raise FileNotFoundError(f"no trace json under {trace_dir}")
     d = json.loads(gzip.open(max(paths)).read())
     evs = d["traceEvents"]
-    pnames = {}
+    pnames, tnames = {}, {}
     for e in evs:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pnames[e["pid"]] = e["args"]["name"]
+        elif e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"]["name"]
     dev_pids = {p for p, n in pnames.items()
                 if "TPU" in n or "/device" in n.lower()}
+    # CPU backend: XLA op events live on the PjRt client thread instead
+    dev_tids = {k for k, n in tnames.items()
+                if "XLAPjRt" in n or "TensorCore" in n}
     agg = collections.defaultdict(lambda: [0.0, 0, None])
     for e in evs:
-        if e.get("ph") != "X" or e["pid"] not in dev_pids:
+        if e.get("ph") != "X":
+            continue
+        if e["pid"] not in dev_pids and (e["pid"], e.get("tid")) not in dev_tids:
             continue
         a = agg[e["name"]]
         a[0] += e.get("dur", 0.0)
@@ -370,6 +379,8 @@ def probe_trace(args):
     x.block_until_ready()
     scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
 
+    pallas = jax.default_backend() != "cpu"
+
     def run_group(x, ca, ct, front):
         m, n, pos = _group_front(
             x, scan_len=scan_len, max_candidates=MC, front=front)
@@ -377,7 +388,7 @@ def probe_trace(args):
             m, n, pos, ca, ct, 1_700_000_000, True, False,
             scan_len=scan_len, max_candidates=MC, max_out=0,
             max_out_short=MOS, max_out_long=MOL,
-            crcok_only=True, pallas=True, packed=True)
+            crcok_only=True, pallas=pallas, packed=True)
         start_d2h(out[:6])
         return out[:6], out[-2], out[-1]
 
@@ -635,11 +646,16 @@ def main():
                     help="comma-separated front variants for --probe trace")
     ap.add_argument("--top", type=int, default=30,
                     help="ops to print per trace report")
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="dry-run the probe machinery on the CPU backend "
+                    "(numbers are meaningless; for logic checks only)")
     args = ap.parse_args()
 
     import jax
 
-    if args.probe != "staged-h2d":
+    if args.allow_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    elif args.probe != "staged-h2d":
         assert jax.default_backend() == "tpu", jax.default_backend()
     log(f"device: {jax.devices()[0]}")
     PROBES[args.probe](args)
