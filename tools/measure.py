@@ -314,6 +314,110 @@ def probe_ab_sustained(args):
 
 
 # ---------------------------------------------------------------------------
+# ab-front2: magnitude-placement A/B in the real sustained protocol.
+# The round-5 trace attributed the mask front's 2.23 ms/batch NOT to the
+# 15-tap predicate (0.34 ms) but to the magnitude chain (~1.45 ms): inside
+# the per-batch scan, XLA lowers the u8->u16 pair bitcast as
+# convert+reshape+combine in a buffers-minor layout at T(2,128) tiling
+# (2 of 8 sublanes) — 6x the isolated magnitude cost.  Variants hoist the
+# magnitude out of the scan (or drop the scan) so it computes on the
+# entry-layout parameter.
+# ---------------------------------------------------------------------------
+
+def _front_variants():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dump1090_tpu.ops.demod import front_candidates
+    from dump1090_tpu.ops.magnitude import magnitude_from_iq
+    from dump1090_tpu.ops.resolve import _group_front
+
+    def mag_rows(x2d):
+        return jax.vmap(
+            lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(x2d)
+
+    @functools.partial(
+        jax.jit, static_argnames=("scan_len", "max_candidates", "front"))
+    def front_hoist(xg, *, scan_len, max_candidates, front=None):
+        m_g = jax.vmap(mag_rows)(xg)
+        n_pos = lax.scan(
+            lambda c, mb: (c, front_candidates(
+                mb, scan_len, max_candidates, front)),
+            0, m_g)[1]
+        return m_g, n_pos[0], n_pos[1]
+
+    @functools.partial(
+        jax.jit, static_argnames=("scan_len", "max_candidates", "front"))
+    def front_flat(xg, *, scan_len, max_candidates, front=None):
+        g, nb, s2 = xg.shape
+        m = mag_rows(xg.reshape(g * nb, s2))
+        n, pos = front_candidates(m, scan_len, max_candidates, front)
+        return (m.reshape(g, nb, -1), n.reshape(g, nb),
+                pos.reshape(g, nb, -1))
+
+    return {"scan": _group_front, "hoist": front_hoist, "flat": front_flat}
+
+
+def probe_ab_front2(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.constants import (
+        BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES, ICAO_CACHE_LEN,
+    )
+    from dump1090_tpu.models.pipeline import start_d2h
+    from dump1090_tpu.ops.resolve import _group_back
+
+    NB, G, W, T, MC, MOS, MOL = args.nb, 12, 2, 6, args.mc, 5632, 9216
+    bufs = load_buffers(W * G * NB)
+    groups = [jax.device_put(jnp.asarray(
+        bufs[g * G * NB:(g + 1) * G * NB].reshape(G, NB, -1)))
+        for g in range(W)]
+    for x in groups:
+        x.block_until_ready()
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+    variants = _front_variants()
+    pallas = jax.default_backend() != "cpu"
+
+    def run_group(x, ca, ct, fv):
+        m, n, pos = fv(x, scan_len=scan_len, max_candidates=MC, front=None)
+        out = _group_back(
+            m, n, pos, ca, ct, 1_700_000_000, True, False,
+            scan_len=scan_len, max_candidates=MC, max_out=0,
+            max_out_short=MOS, max_out_long=MOL,
+            crcok_only=True, pallas=pallas, packed=True)
+        start_d2h(out[:6])
+        return out[:6], out[-2], out[-1]
+
+    def sustained(name):
+        fv = variants[name]
+        ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        pending, tot = None, 0
+        t0 = time.perf_counter()
+        for t in range(T):
+            outs, ca, ct = run_group(groups[t % W], ca, ct, fv)
+            if pending is not None:
+                tot += int(jax.device_get(list(pending))[1].sum())
+            pending = outs
+        tot += int(jax.device_get(list(pending))[1].sum())
+        return T * G * NB * BLOCK_SAMPLES / (time.perf_counter() - t0) / 1e6, tot
+
+    names = list(variants)
+    base = {}
+    for name in names:  # warm (compile) + equivalence check
+        r, msgs = sustained(name)
+        base[name] = msgs
+        log(f"warm {name}: {r:.0f} Ms/s ({msgs} msgs)")
+    assert len(set(base.values())) == 1, f"variants disagree: {base}"
+    for rep in range(3):
+        for name in names:
+            r, _ = sustained(name)
+            log(f"rep{rep} {name}: {r:.0f} Ms/s")
+
+
+# ---------------------------------------------------------------------------
 # trace: jax.profiler op-level attribution of the grouped product program
 # (round-5 directive: settle the demod floor with EVIDENCE, not hypotheses)
 # ---------------------------------------------------------------------------
@@ -380,9 +484,10 @@ def probe_trace(args):
     scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
 
     pallas = jax.default_backend() != "cpu"
+    fv = _front_variants()[args.variant] if args.variant else _group_front
 
     def run_group(x, ca, ct, front):
-        m, n, pos = _group_front(
+        m, n, pos = fv(
             x, scan_len=scan_len, max_candidates=MC, front=front)
         out = _group_back(
             m, n, pos, ca, ct, 1_700_000_000, True, False,
@@ -630,6 +735,7 @@ PROBES = {
     "scan": probe_scan,
     "front": probe_front,
     "ab-sustained": probe_ab_sustained,
+    "ab-front2": probe_ab_front2,
     "trace": probe_trace,
     "stages": probe_stages,
     "link": probe_link,
@@ -646,6 +752,9 @@ def main():
                     help="comma-separated front variants for --probe trace")
     ap.add_argument("--top", type=int, default=30,
                     help="ops to print per trace report")
+    ap.add_argument("--variant", default=None,
+                    help="front-program variant for --probe trace "
+                    "(scan|hoist|flat; default the shipped _group_front)")
     ap.add_argument("--allow-cpu", action="store_true",
                     help="dry-run the probe machinery on the CPU backend "
                     "(numbers are meaningless; for logic checks only)")
