@@ -299,7 +299,11 @@ def main() -> None:
     ]
 
     t0 = time.perf_counter()
-    groups = [jax.device_put(jnp.asarray(x)) for x in groups_np]
+    # zero-copy uint16 IQ-pair views: the product upload form (see
+    # ops.resolve._group_front — the u16 entry keeps the device magnitude
+    # elementwise, +10% sustained chip-measured)
+    groups = [jax.device_put(jnp.asarray(
+        np.ascontiguousarray(x).view("<u2"))) for x in groups_np]
     for x in groups:
         x.block_until_ready()
     t_h2d = time.perf_counter() - t0

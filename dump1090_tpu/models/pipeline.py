@@ -548,7 +548,10 @@ class DemodPipeline:
             g_real = -(-len(bufs) // nb)
             xg = np.full((ng, nb, buf_bytes), 127, dtype=np.uint8)
             xg.reshape(ng * nb, buf_bytes)[: len(bufs)] = np.stack(bufs)
-            return jax.device_put(jnp.asarray(xg)), g_real, len(bufs)
+            # upload as zero-copy uint16 IQ-pair view: the u16 entry makes
+            # the device magnitude elementwise (ops.resolve._group_front;
+            # +10% sustained, chip-measured round 5)
+            return jax.device_put(jnp.asarray(xg.view("<u2"))), g_real, len(bufs)
 
         preload = False
         if (self.cfg.preload != "off" and not self.cfg.loop

@@ -41,7 +41,22 @@ def magnitude_from_iq(iq: jax.Array, out_dtype=jnp.int32) -> jax.Array:
     # Little-endian: pair k = I | (Q << 8).
     pairs = jax.lax.bitcast_convert_type(
         iq.reshape(*iq.shape[:-1], -1, 2), jnp.uint16
-    ).astype(jnp.int32)
+    )
+    return magnitude_from_pairs(pairs, out_dtype=out_dtype)
+
+
+def magnitude_from_pairs(pairs: jax.Array, out_dtype=jnp.int32) -> jax.Array:
+    """uint16 IQ pairs [..., N] (little-endian I | Q<<8) -> magnitudes.
+
+    Same computation as magnitude_from_iq after the deinterleave, exposed
+    separately because the bitcast above is only free when XLA keeps the
+    sample axis minor; when the group program picks a buffers-minor layout
+    it decomposes into convert+reshape+combine at T(2,128) tiling (~0.96
+    ms/batch measured, docs/DESIGN.md).  Uploading the raw bytes as a host
+    numpy uint16 VIEW (zero-copy, same wire bytes) and entering here makes
+    the whole chain elementwise — no reshape for XLA to mis-lay-out.
+    """
+    pairs = pairs.astype(jnp.int32)
     i = jnp.abs((pairs & 0xFF) - 127)
     q = jnp.abs((pairs >> 8) - 127)
     v = i * i + q * q                 # <= 32768

@@ -942,10 +942,30 @@ def _group_front(xg, *, scan_len: int, max_candidates: int,
     ms/batch for the full demod+precompute+scan chain).  Outputs stay on
     the device for program B.
 
+    xg is (G, NB, nbytes) uint8 interleaved IQ, or (G, NB, nbytes/2)
+    uint16 — the SAME wire bytes viewed as little-endian I|Q<<8 pairs on
+    the host (numpy `.view("<u2")`, zero-copy).  The uint16 entry is the
+    fast path (round 5, chip-traced): with a u8 entry XLA lays the group
+    stack out buffers-minor and the pair bitcast decomposes into
+    convert+reshape+combine at T(2,128) tiling (2 of 8 sublanes, ~1.25
+    ms/batch); the u16 entry makes the whole magnitude elementwise (no
+    reshape to mis-lay-out) and, hoisted out of the per-batch scan, the
+    front drops 2.23 -> 0.98 ms/batch (in-situ interleaved A/B: sustained
+    2044 -> 2239 Ms/s, tools/measure.py --probe ab-front2).
+
     `front` picks the preamble-scan formulation (ops.demod.front_variant;
     every choice bit-identical)."""
     from ..ops.demod import front_candidates
-    from ..ops.magnitude import magnitude_from_iq
+    from ..ops.magnitude import magnitude_from_iq, magnitude_from_pairs
+
+    if xg.dtype == jnp.uint16:
+        m_g = magnitude_from_pairs(xg, out_dtype=jnp.uint16)
+        n_pos = lax.scan(
+            lambda c, mb: (c, front_candidates(
+                mb, scan_len, max_candidates, front)),
+            0, m_g,
+        )[1]
+        return m_g, n_pos[0], n_pos[1]
 
     def per_batch(xb):
         m = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(xb)
@@ -1075,7 +1095,9 @@ def demod_resolve_group(
     packed: bool = True,
 ):
     """Device pipeline over a dispatch GROUP: xg is (G, NB, nbytes) uint8
-    IQ -> every buffer demodulated, the whole candidate stream resolved in
+    IQ — or the same wire bytes as (G, NB, nbytes/2) uint16 pairs, the
+    preferred upload form (see _group_front) — every buffer demodulated,
+    the whole candidate stream resolved in
     ONE Pallas kernel pass (the ICAO cache and the per-buffer skip state
     chain through it in stream order), each batch's messages emitted.  TWO
     chained XLA programs per group (front: magnitude+predicate+compaction;

@@ -535,6 +535,29 @@ def test_grouped_dispatch_matches_ungrouped(modes1_path, golden_dir):
     assert pg2.stats == p1.stats
 
 
+def test_group_uint16_wire_matches_uint8(modes1_path):
+    """The uint16 IQ-pair upload form (zero-copy host view, the product
+    wire since round 5 — see _group_front) is bit-identical to the uint8
+    form across every output: frames, ranks, counts, stats, cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.ops.resolve import demod_resolve_group
+
+    bufs = _modes1_buffers(modes1_path)  # modes1 = 2 buffers
+    xg = bufs.reshape(2, 1, -1)  # (G=2, NB=1, nbytes) uint8
+    kw = dict(scan_len=SCAN, max_candidates=256, max_out_short=512,
+              max_out_long=512, crcok_only=True, packed=True)
+    ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+    out8 = demod_resolve_group(
+        jnp.asarray(xg), ca, ct, NOW, True, False, **kw)
+    out16 = demod_resolve_group(
+        jnp.asarray(xg.view("<u2")), ca, ct, NOW, True, False, **kw)
+    for a, b in zip(jax.device_get(list(out8)), jax.device_get(list(out16))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_normalize_max_candidates():
     """mc values past RESOLVE_CHUNK must tile exactly into chunk-sized grid
     steps; arbitrary user values / sticky-growth products (300*4*4=4800) are

@@ -328,24 +328,48 @@ def _front_variants():
     import jax
     import jax.numpy as jnp
     from jax import lax
+    from jax.experimental.layout import Format, Layout
 
     from dump1090_tpu.ops.demod import front_candidates
-    from dump1090_tpu.ops.magnitude import magnitude_from_iq
+    from dump1090_tpu.ops.magnitude import magnitude_from_iq, magnitude_from_pairs
     from dump1090_tpu.ops.resolve import _group_front
 
     def mag_rows(x2d):
         return jax.vmap(
             lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(x2d)
 
-    @functools.partial(
-        jax.jit, static_argnames=("scan_len", "max_candidates", "front"))
-    def front_hoist(xg, *, scan_len, max_candidates, front=None):
+    def hoist_body(xg, *, scan_len, max_candidates, front=None):
         m_g = jax.vmap(mag_rows)(xg)
         n_pos = lax.scan(
             lambda c, mb: (c, front_candidates(
                 mb, scan_len, max_candidates, front)),
             0, m_g)[1]
         return m_g, n_pos[0], n_pos[1]
+
+    front_hoist = functools.partial(
+        jax.jit, static_argnames=("scan_len", "max_candidates", "front")
+    )(hoist_body)
+
+    # entry layout pinned samples-minor (row-major): tests whether the
+    # magnitude chain's T(2,128) pathology is purely the buffers-minor
+    # entry layout XLA picks for the group stack.  (pjit rejects kwargs
+    # alongside in_shardings, so statics are baked via closure.)
+    _pin_cache = {}
+
+    def front_pin(xg, *, scan_len, max_candidates, front=None):
+        key = (scan_len, max_candidates, front)
+        if key not in _pin_cache:
+            fmt = Format(
+                Layout(major_to_minor=(0, 1, 2)),
+                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            )
+            _pin_cache[key] = jax.jit(
+                lambda x: hoist_body(
+                    x, scan_len=scan_len, max_candidates=max_candidates,
+                    front=front),
+                in_shardings=fmt,
+            )
+        return _pin_cache[key](xg)
 
     @functools.partial(
         jax.jit, static_argnames=("scan_len", "max_candidates", "front"))
@@ -356,7 +380,25 @@ def _front_variants():
         return (m.reshape(g, nb, -1), n.reshape(g, nb),
                 pos.reshape(g, nb, -1))
 
-    return {"scan": _group_front, "hoist": front_hoist, "flat": front_flat}
+    # host uploads the SAME wire bytes as a numpy uint16 view; the whole
+    # magnitude becomes elementwise (no reshape/bitcast for XLA to place).
+    @functools.partial(
+        jax.jit, static_argnames=("scan_len", "max_candidates", "front"))
+    def front_hoist16(xg16, *, scan_len, max_candidates, front=None):
+        m_g = magnitude_from_pairs(xg16, out_dtype=jnp.uint16)
+        n_pos = lax.scan(
+            lambda c, mb: (c, front_candidates(
+                mb, scan_len, max_candidates, front)),
+            0, m_g)[1]
+        return m_g, n_pos[0], n_pos[1]
+
+    return {
+        "scan": _group_front,
+        "hoist": front_hoist,
+        "pin": front_pin,
+        "flat": front_flat,
+        "hoist16": front_hoist16,
+    }
 
 
 def probe_ab_front2(args):
@@ -374,7 +416,11 @@ def probe_ab_front2(args):
     groups = [jax.device_put(jnp.asarray(
         bufs[g * G * NB:(g + 1) * G * NB].reshape(G, NB, -1)))
         for g in range(W)]
-    for x in groups:
+    # same wire bytes, zero-copy host uint16 view (the *16 variants)
+    groups16 = [jax.device_put(jnp.asarray(
+        bufs.view("<u2")[g * G * NB:(g + 1) * G * NB].reshape(G, NB, -1)))
+        for g in range(W)]
+    for x in groups + groups16:
         x.block_until_ready()
     scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
     variants = _front_variants()
@@ -392,12 +438,13 @@ def probe_ab_front2(args):
 
     def sustained(name):
         fv = variants[name]
+        gs = groups16 if name.endswith("16") else groups
         ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
         ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
         pending, tot = None, 0
         t0 = time.perf_counter()
         for t in range(T):
-            outs, ca, ct = run_group(groups[t % W], ca, ct, fv)
+            outs, ca, ct = run_group(gs[t % W], ca, ct, fv)
             if pending is not None:
                 tot += int(jax.device_get(list(pending))[1].sum())
             pending = outs
@@ -479,6 +526,8 @@ def probe_trace(args):
 
     NB, G, T, MC, MOS, MOL = args.nb, 12, 2, args.mc, 5632, 9216
     bufs = load_buffers(G * NB)
+    if args.variant and args.variant.endswith("16"):
+        bufs = bufs.view("<u2")
     x = jax.device_put(jnp.asarray(bufs.reshape(G, NB, -1)))
     x.block_until_ready()
     scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
@@ -754,7 +803,8 @@ def main():
                     help="ops to print per trace report")
     ap.add_argument("--variant", default=None,
                     help="front-program variant for --probe trace "
-                    "(scan|hoist|flat; default the shipped _group_front)")
+                    "(scan|hoist|pin|flat|hoist16; default the shipped "
+                    "_group_front)")
     ap.add_argument("--allow-cpu", action="store_true",
                     help="dry-run the probe machinery on the CPU backend "
                     "(numbers are meaningless; for logic checks only)")
