@@ -246,20 +246,26 @@ def main() -> None:
         total_samples = reps0 * len(raw0) // 2
         steady = (total_samples - samples_at_first) / max(t_end - t_first, 1e-9)
         ttfm_s = round(t_first - t_open, 1)
-        # cold-file attribution (VERDICT r4 Weak #2): TTFM is dominated by
-        # the preload over the tunnel's pre-compute window, whose rate is
-        # the h2d_fast probe above — publish it WITH the TTFM so a slow
-        # link reads as the link's number; the decoder's stable cold-file
-        # figure is the steady post-preload rate (CLAUDE.md, DESIGN.md)
+        # cold-file attribution (VERDICT r4 Weak #2): TTFM = preload over
+        # the tunnel link + program compile; publish the MEASURED effective
+        # rate (file bytes over TTFM — a lower bound on the link rate since
+        # it includes compile) next to the fast-window probe, so a crawling
+        # preload (the link has measured 0.0006 GB/s effective while its
+        # fast-window probe read 0.69) reads as the link's number.  The
+        # decoder's stable cold-file figure is the steady post-preload rate
+        # (CLAUDE.md, DESIGN.md).
+        file_bytes = reps0 * len(raw0)
         cold_file = {
             "ttfm_s": ttfm_s,
-            "preload_gbps": round(h2d_fast / 1e9, 3),
+            "preload_effective_gbps": round(file_bytes / 1e9 / max(ttfm_s, 1e-9), 4),
+            "h2d_fast_window_gbps": round(h2d_fast / 1e9, 3),
             "steady_msamples_s": round(steady / 1e6, 1),
         }
-        log(f"cold-file (product pipeline, {reps0 * len(raw0) / 1e6:.0f} MB "
+        log(f"cold-file (product pipeline, {file_bytes / 1e6:.0f} MB "
             f"from disk, preload+decode): first batch at "
-            f"{t_first - t_open:.1f}s (incl. compile+preload at the "
-            f"{h2d_fast/1e9:.2f} GB/s link rate above), then "
+            f"{t_first - t_open:.1f}s (= preload+compile, effective "
+            f"{cold_file['preload_effective_gbps']:.4f} GB/s vs the "
+            f"{h2d_fast/1e9:.2f} GB/s fast-window probe), then "
             f"{steady/1e6:.0f} Msamples/s to EOF; {n_lines} messages")
 
     from dump1090_tpu.constants import (
@@ -466,7 +472,16 @@ def main() -> None:
     retry_budget = float(os.environ.get("BENCH_DEGRADED_RETRY_S", "600"))
     t_retry0 = time.perf_counter()
     n_retries = 0
-    while _breaches() and n_retries < 5:
+    # h2d_fast and the compile time are sampled ONCE per process (the fast
+    # H2D window closes at first compute): a breach there can never clear,
+    # so retrying buys nothing when it is the only kind present — the
+    # record is marked degraded either way (measured: 5 retries x 60 s all
+    # read identical sustained/demod, artifacts/r05/bench_u16_capture.log)
+    ONE_SHOT = {"h2d_fast_gbps", "compile_first_group_s"}
+    if _breaches() and set(_breaches()) <= ONE_SHOT:
+        log(f"env degraded only on one-shot sentinels ({_breaches()}) — "
+            "unclearable by retry; recording as degraded without retries")
+    while _breaches() and not set(_breaches()) <= ONE_SHOT and n_retries < 5:
         if time.perf_counter() - t_retry0 + 75 > retry_budget:
             log(f"env still degraded after {n_retries} retries "
                 f"({retry_budget:.0f} s budget spent) — recording as such")
