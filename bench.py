@@ -587,8 +587,11 @@ def main() -> None:
             )
             sparse[b, at : at + len(iq)] = iq
             at += len(iq) + 70000
+    # both sparse stages stay on the uint8 wire ON PURPOSE: the stage's
+    # product is the RESOLVE TAX (fused minus demod-only), which is only
+    # meaningful when both sides share a front; the dense fused stage above
+    # measures the uint16 product wire
     xs = jax.device_put(jnp.asarray(sparse))
-    xs16 = jax.device_put(jnp.asarray(sparse.view("<u2")))  # product wire
     MCS = 64
 
     @functools.partial(jax.jit, static_argnames=("L",))
@@ -626,11 +629,11 @@ def main() -> None:
         t0 = time.perf_counter()
         _ = float(jax.device_get(sparse_demod(xs, L)))
         t_d = min(t_d, (time.perf_counter() - t0) / L)
-    _ = float(jax.device_get(sparse_fused(xs16, ca, ct, L)[2]))
+    _ = float(jax.device_get(sparse_fused(xs, ca, ct, L)[2]))
     t_f = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
-        _ = float(jax.device_get(sparse_fused(xs16, ca, ct, L)[2]))
+        _ = float(jax.device_get(sparse_fused(xs, ca, ct, L)[2]))
         t_f = min(t_f, (time.perf_counter() - t0) / L)
     log(f"sparse air (3 msgs/buffer, mc={MCS}): demod {t_d*1e3:.2f} ms, "
         f"demod+resolve {t_f*1e3:.2f} ms -> resolve tax {(t_f-t_d)*1e3:.2f} ms"
