@@ -239,7 +239,12 @@ def _report_regime_shifts(yields, spec) -> list:
     and the group geometry, so it compares the time between consecutive
     GROUP completions against bytes-per-group / rate and reports only gaps
     >= 2x that (or +1.5 s absolute for unpaced runs): link-mood collapses
-    and recompile stalls, not the cadence."""
+    and recompile stalls, not the cadence.
+
+    Alignment note: only the FINAL dispatch group can be partial (the
+    ingest generator pads solely at stream end), so the ng-stride stays on
+    group boundaries throughout; a partial tail contributes no sample
+    (its closing gap goes unmeasured) rather than desynchronizing."""
     ng = max(spec.get("groups", 1), 1)
     group_t = [t for t, _ in yields[ng - 1 :: ng]]
     gaps = [b - a for a, b in zip(group_t, group_t[1:])]
@@ -302,7 +307,26 @@ def _make_clock(spec: dict, name: str, rec: dict, ms: bool = False):
     vals = spec.get(name)
     if vals is not None:
         it = iter(vals)
-        return lambda: next(it)
+        state = {"last": vals[-1] if vals else 0, "over": 0}
+
+        def replay():
+            # a device/oracle divergence can change how many clock values a
+            # pass consumes; keep returning the final value (and count the
+            # overrun) so the run reaches the byte-level diff report that
+            # LOCALIZES the divergence, instead of dying on StopIteration
+            v = next(it, None)
+            if v is None:
+                state["over"] += 1
+                if state["over"] == 1:
+                    print(f"WARNING: {name} clock replay exhausted "
+                          f"({len(vals)} recorded values) — passes diverged "
+                          f"upstream; pinning to the final value",
+                          file=sys.stderr)
+                return state["last"]
+            state["last"] = v
+            return v
+
+        return replay
     lst = rec.setdefault(name, [])
     scale = 1000 if ms else 1
 
@@ -638,8 +662,6 @@ def main() -> int:
                     "check: a direct run otherwise targets the tunneled "
                     "TPU — the sitecustomize plugin beats JAX_PLATFORMS)")
     args = ap.parse_args()
-    from refbuild import ensure_reference
-    args.ref = ensure_reference(args.ref)
 
     if args.backend:
         import jax
@@ -652,6 +674,12 @@ def main() -> int:
         return soak_messages(args)
     if args.wall_minutes:
         return soak_wall(args)
+
+    # only the fixed-reps mode diffs against the reference BINARY; the wall
+    # soaks (and the oracle subprocess) diff against the CPU XLA twin and
+    # must not require a buildable reference on the host
+    from refbuild import ensure_reference
+    args.ref = ensure_reference(args.ref)
 
     raw = np.fromfile("/root/reference/testfiles/modes1.bin", dtype=np.uint8)
     stream = np.tile(raw, args.reps)
