@@ -376,9 +376,17 @@ def main() -> None:
                 msg, bits, np.ones(msg.shape[0], dtype=bool)))
         return total, b"".join(out)
 
+    # dispatch-ahead depth 3, matching the product pipeline's auto depth
+    # for seekable sources (chip-measured round 5: depth 3 reads +10-12%
+    # over depth 1 — the deeper fetch queue hides the link's D2H jitter;
+    # tools/measure.py --probe ab-depth)
+    DEPTH = 3
+
     def sustained_run():
         nonlocal ca, ct
-        pending = None
+        import collections
+
+        pending = collections.deque()
         futures = []
         n_msgs = 0
         out_bytes = 0
@@ -386,10 +394,13 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=1) as pool:
             for t in range(T):
                 outs, ca, ct = run_group(groups[t % W], ca, ct)
-                if pending is not None:
-                    futures.append(pool.submit(format_group, fetch(pending)))
-                pending = outs
-            futures.append(pool.submit(format_group, fetch(pending)))
+                pending.append(outs)
+                if len(pending) > DEPTH:
+                    futures.append(
+                        pool.submit(format_group, fetch(pending.popleft())))
+            while pending:
+                futures.append(
+                    pool.submit(format_group, fetch(pending.popleft())))
             for f in futures:
                 c, b = f.result()
                 n_msgs += c

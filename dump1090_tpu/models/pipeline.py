@@ -84,6 +84,17 @@ class PipelineConfig:
     # = one group + compile); "off" always streams through the reader
     # thread.
     preload: str = "auto"
+    # Device-resolve dispatch groups held in flight before the oldest is
+    # fetched.  0 = auto: 3 for seekable (file) sources — chip-measured
+    # round 5, depth 3 reads +10-12% sustained over depth 1 because the
+    # deeper queue hides the tunnel link's fetch jitter — and 1 for
+    # live/looped/throttled streams, where two extra groups of latency
+    # (~2x dispatch_groups x batch_buffers x 65 ms of signal) would break
+    # the reference's live cadence.  Bit-identical either way (the ICAO
+    # cache chains on DISPATCH order, which a deeper fetch queue does not
+    # change); candidate-overflow sticky growth replays every in-flight
+    # group from the pre-overflow cache state.
+    dispatch_ahead: int = 0
 
 
 class DemodPipeline:
@@ -474,7 +485,23 @@ class DemodPipeline:
         def shapes_now():
             return (self._mc, self._mos, self._mol, self._mo)
 
-        pending = None  # (xg, g_real, state_before, out, dispatch_shapes)
+        import collections
+
+        # dispatch-ahead depth: how many groups stay in flight before the
+        # oldest is fetched (PipelineConfig.dispatch_ahead; 0 = auto)
+        depth = self.cfg.dispatch_ahead
+        if depth <= 0:
+            seekable = False
+            if buffers is None and stream is not None:
+                try:
+                    seekable = stream.seekable()
+                except (OSError, AttributeError, ValueError):
+                    seekable = False
+            depth = (3 if seekable and not self.cfg.loop
+                     and self.cfg.throttle_s == 0 else 1)
+
+        # entries: (xg, g_real, state_before, out, dispatch_shapes)
+        pending: collections.deque = collections.deque()
         groups = self._ingest_groups(stream, it, ng, nb)
         try:
             while True:
@@ -485,23 +512,24 @@ class DemodPipeline:
                     work = (xg, g_real, (ca, ct), dispatch(xg, ca, ct),
                             shapes_now())
                     ca, ct = work[3][-2], work[3][-1]
-                else:
-                    work = None
-                if pending is not None:
-                    payloads, redo = finish(pending)
+                    pending.append(work)
+                # keep `depth` groups in flight while the stream lives;
+                # drain everything at EOF
+                while len(pending) > (depth if item is not None else 0):
+                    payloads, redo = finish(pending.popleft())
                     yield from payloads
-                    if redo:  # shapes grew: replay the in-flight group too
-                        if work is not None:
-                            xg, g_real = work[0], work[1]
-                            ca, ct = redo
-                            work = (xg, g_real, (ca, ct),
-                                    dispatch(xg, ca, ct), shapes_now())
-                            ca, ct = work[3][-2], work[3][-1]
-                        else:
-                            ca, ct = redo
-                if work is None:
+                    if redo:  # shapes grew: replay EVERY in-flight group
+                        # from the pre-overflow cache state, in order
+                        ca, ct = redo
+                        requeue = [(w[0], w[1]) for w in pending]
+                        pending.clear()
+                        for xg2, g_real2 in requeue:
+                            w2 = (xg2, g_real2, (ca, ct),
+                                  dispatch(xg2, ca, ct), shapes_now())
+                            ca, ct = w2[3][-2], w2[3][-1]
+                            pending.append(w2)
+                if item is None:
                     return
-                pending = work
         finally:
             groups.close()
             # device cache -> host cache (keeps --tpu-state-save and any

@@ -535,6 +535,31 @@ def test_grouped_dispatch_matches_ungrouped(modes1_path, golden_dir):
     assert pg2.stats == p1.stats
 
 
+def test_dispatch_ahead_depth_overflow_replay(modes1_path, golden_dir):
+    """With the auto depth-3 fetch queue (seekable sources, round 5),
+    candidate-overflow sticky growth must replay EVERY in-flight group from
+    the pre-overflow cache state: a tiny max_candidates forces growth on
+    the first dense group while later groups are already dispatched with
+    the stale shapes.  Output must stay byte-identical to the golden, and
+    explicit depths 1 and 3 must agree."""
+    import io
+
+    from dump1090_tpu.models.pipeline import DemodPipeline, PipelineConfig
+
+    data = modes1_path.read_bytes()
+    golden = (golden_dir / "golden_raw.txt").read_bytes()
+    outs = {}
+    for depth in (0, 1, 3):  # 0 = auto (BytesIO is seekable -> 3)
+        p = DemodPipeline(
+            PipelineConfig(batch_buffers=1, dispatch_groups=1,
+                           max_candidates=16, dispatch_ahead=depth),
+            clock=lambda: NOW,
+        )
+        outs[depth] = b"".join(p.stream_raw_device(io.BytesIO(data)))
+        assert p._mc > 16, "sticky growth should have fired"
+    assert outs[0] == outs[1] == outs[3] == golden
+
+
 def test_group_uint16_wire_matches_uint8(modes1_path):
     """The uint16 IQ-pair upload form (zero-copy host view, the product
     wire since round 5 — see _group_front) is bit-identical to the uint8

@@ -464,6 +464,69 @@ def probe_ab_front2(args):
             log(f"rep{rep} {name}: {r:.0f} Ms/s")
 
 
+def probe_ab_depth(args):
+    """Dispatch-ahead depth A/B on the product (hoist16) wire: with device
+    compute ~= fetch on this link, does holding more than one group in
+    flight (fetch g-D instead of g-1) hide link jitter?"""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    from dump1090_tpu.constants import (
+        BLOCK_SAMPLES, BUF_SAMPLES, FULL_LEN_SAMPLES, ICAO_CACHE_LEN,
+    )
+    from dump1090_tpu.models.pipeline import start_d2h
+    from dump1090_tpu.ops.resolve import _group_back
+
+    NB, G, W, T, MC, MOS, MOL = args.nb, 12, 3, 10, args.mc, 5632, 9216
+    bufs = load_buffers(W * G * NB)
+    groups16 = [jax.device_put(jnp.asarray(
+        bufs.view("<u2")[g * G * NB:(g + 1) * G * NB].reshape(G, NB, -1)))
+        for g in range(W)]
+    for x in groups16:
+        x.block_until_ready()
+    scan_len = BUF_SAMPLES - FULL_LEN_SAMPLES
+    fv = _front_variants()["hoist16"]
+    pallas = jax.default_backend() != "cpu"
+
+    def run_group(x, ca, ct):
+        m, n, pos = fv(x, scan_len=scan_len, max_candidates=MC, front=None)
+        out = _group_back(
+            m, n, pos, ca, ct, 1_700_000_000, True, False,
+            scan_len=scan_len, max_candidates=MC, max_out=0,
+            max_out_short=MOS, max_out_long=MOL,
+            crcok_only=True, pallas=pallas, packed=True)
+        start_d2h(out[:6])
+        return out[:6], out[-2], out[-1]
+
+    def sustained(depth):
+        ca = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        ct = jnp.zeros(ICAO_CACHE_LEN, jnp.int32)
+        q, tot = collections.deque(), 0
+        t0 = time.perf_counter()
+        for t in range(T):
+            outs, ca, ct = run_group(groups16[t % W], ca, ct)
+            q.append(outs)
+            if len(q) > depth:
+                tot += int(jax.device_get(list(q.popleft()))[1].sum())
+        while q:
+            tot += int(jax.device_get(list(q.popleft()))[1].sum())
+        return T * G * NB * BLOCK_SAMPLES / (time.perf_counter() - t0) / 1e6, tot
+
+    depths = [1, 2, 3]
+    base = {}
+    for d in depths:
+        r, msgs = sustained(d)
+        base[d] = msgs
+        log(f"warm depth={d}: {r:.0f} Ms/s ({msgs} msgs)")
+    assert len(set(base.values())) == 1, f"depths disagree: {base}"
+    for rep in range(3):
+        for d in depths:
+            r, _ = sustained(d)
+            log(f"rep{rep} depth={d}: {r:.0f} Ms/s")
+
+
 # ---------------------------------------------------------------------------
 # trace: jax.profiler op-level attribution of the grouped product program
 # (round-5 directive: settle the demod floor with EVIDENCE, not hypotheses)
@@ -785,6 +848,7 @@ PROBES = {
     "front": probe_front,
     "ab-sustained": probe_ab_sustained,
     "ab-front2": probe_ab_front2,
+    "ab-depth": probe_ab_depth,
     "trace": probe_trace,
     "stages": probe_stages,
     "link": probe_link,
