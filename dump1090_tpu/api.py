@@ -271,7 +271,10 @@ def _decode_captures_device(
                         ct_in = ct_in.at[:ks].set(ct_t[k0:k0 + ks])
                         n_d, count_d, msg_d, meta_d, stats_d, ca2, ct2 = (
                             demod_resolve_streams(
-                                jnp.asarray(sub), ca_in, ct_in, now,
+                                # zero-copy uint16 IQ-pair view: keeps the
+                                # device magnitude elementwise (see
+                                # ops.resolve._group_front, round 5)
+                                jnp.asarray(sub.view("<u2")), ca_in, ct_in, now,
                                 dcfg.fix_errors, dcfg.aggressive,
                                 scan_len=scan_len, max_candidates=mc,
                                 max_out=mo, crcok_only=False,

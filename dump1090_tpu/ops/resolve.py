@@ -807,7 +807,9 @@ def demod_resolve_streams(
 ):
     """S INDEPENDENT capture streams share one fused demod+resolve dispatch
     (the data parallelism of api.decode_captures, device edition): xs is
-    (S, NB, nbytes) uint8 — stream s's next NB buffers — and
+    (S, NB, nbytes) uint8 — or the same wire bytes as (S, NB, nbytes/2)
+    uint16 pairs, the preferred upload form (see _group_front) — stream
+    s's next NB buffers — and
     cache_addr/cache_ts are (S, ICAO_CACHE_LEN) per-stream ICAO caches.
     Each stream resolves exactly as if decoded alone (per-stream skip state,
     per-stream cache swapped in SMEM at stream boundaries of the single

@@ -44,7 +44,7 @@ from ..ops.demod import (
     compact_positions,
     preamble_mask,
 )
-from ..ops.magnitude import magnitude_from_iq
+from ..ops.magnitude import magnitude_from_iq, magnitude_from_pairs
 
 HALO = FULL_LEN_SAMPLES  # 240 samples from the right neighbor
 
@@ -71,9 +71,11 @@ def demod_batch(
     iq_buffers: jax.Array, *, scan_len: int, max_candidates: int,
     pallas: bool | None = None, front: str | None = None,
 ) -> Candidates:
-    """Batched demodulation of (N, nbytes) uint8 IQ buffers — the single-chip
-    throughput path and, with a sharded input, the data-parallel multi-chip
-    path (shard the N axis; XLA partitions everything else automatically).
+    """Batched demodulation of (N, nbytes) uint8 IQ buffers — or the same
+    wire bytes as (N, nbytes/2) uint16 little-endian I|Q<<8 pairs (host
+    numpy `.view("<u2")`, zero-copy) — the single-chip throughput path
+    and, with a sharded input, the data-parallel multi-chip path (shard
+    the N axis; XLA partitions everything else automatically).
 
     `front` selects the preamble-scan formulation (ops.demod.front_variant;
     all choices bit-identical)."""
@@ -87,8 +89,14 @@ def demod_batch(
     # VMEM pass) was prototyped and measured SLOWER than this XLA graph on
     # v5e (4.6 ms vs 2.2 ms for the front half) — streaming elementwise
     # work is where XLA's pipelining beats hand-written kernels; Pallas
-    # only wins here for the candidate-window gather below.
-    m = jax.vmap(lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(iq_buffers)
+    # only wins here for the candidate-window gather below.  A uint16
+    # entry keeps the magnitude purely elementwise (no pair reshape for
+    # XLA layout assignment to misplace — see ops.resolve._group_front).
+    if iq_buffers.dtype == jnp.uint16:
+        m = magnitude_from_pairs(iq_buffers, out_dtype=jnp.uint16)
+    else:
+        m = jax.vmap(
+            lambda r: magnitude_from_iq(r, out_dtype=jnp.uint16))(iq_buffers)
     n, pos = front_candidates(m, scan_len, max_candidates, front)
     w = gather_candidate_windows(m, pos, pallas=pallas)
     outs = jax.vmap(jax.vmap(candidate_passes_window))(w, pos)
