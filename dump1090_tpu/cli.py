@@ -64,7 +64,7 @@ HELP = """\
 --tpu-dispatch-ahead <n> Device-resolve dispatch groups held in flight
                          before the oldest is fetched (0 = auto: 3 for
                          seekable files, 1 for live/looped/throttled —
-                         deeper queues hide fetch jitter, +10-12%%
+                         deeper queues hide fetch jitter, +10-12%
                          sustained chip-measured; bit-identical output).
 --tpu-preload <m>        auto|staged|off: device preload of regular files
                          before the first dispatch (auto,
@@ -555,6 +555,7 @@ def main(argv: list[str] | None = None) -> int:
                 PipelineConfig(
                     decoder=dcfg, max_candidates=o.max_candidates,
                     batch_buffers=1,  # 65 ms latency per device dispatch
+                    dispatch_ahead=o.dispatch_ahead,
                 ),
                 debug_flags=DebugFlags.parse(o.debug) if o.debug else None,
                 lock=state_lock,
